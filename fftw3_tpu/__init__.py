@@ -1,0 +1,26 @@
+"""fftw3_tpu — a TPU-native FFT engine with FFTW3's capability surface.
+
+Built from scratch for JAX/XLA/Pallas: complex DFTs, real-input/output
+transforms, DHT, and all eight DCT/DST kinds, at any size (mixed-radix
+Stockham + Rader + Bluestein), batched and multi-dimensional, with an
+FFTW-style cost-driven planner, persistent wisdom, and a shard_map-based
+distributed tier over TPU meshes.
+
+See SURVEY.md at the repo root for the mapping to the reference (FFTW 3.3.8).
+"""
+from . import parallel  # noqa: F401
+from .api import (  # noqa: F401
+    BACKWARD, ESTIMATE, EXHAUSTIVE, FORWARD, MEASURE, PATIENT, Kind, Plan,
+    Problem, cleanup, cost, dct, dht, dst, execute, export_wisdom_to_filename,
+    export_wisdom_to_string, fft, fft2, fftfreq, fftn, fftshift, flops,
+    forget_wisdom, idct, idst, ifft, ifft2, ifftn, ifftshift,
+    import_wisdom_from_filename, import_wisdom_from_string, irfft, irfft2,
+    irfftn, plan_dft, plan_dft_1d, plan_dft_2d, plan_dft_3d, plan_dft_c2r,
+    plan_dft_c2r_1d, plan_dft_c2r_2d, plan_dft_c2r_3d, plan_dft_r2c,
+    plan_dft_r2c_1d, plan_dft_r2c_2d, plan_dft_r2c_3d, plan_guru_dft,
+    plan_many_dft, plan_r2r, plan_r2r_1d, print_plan, rfft, rfft2, rfftfreq,
+    rfftn, set_timelimit, sprint_plan)
+from .planner import the_planner  # noqa: F401
+
+__version__ = "0.1.0"
+from . import config  # noqa: F401

@@ -1,0 +1,20 @@
+"""Global numeric configuration.
+
+TPU MXUs execute f32 matmuls as bf16 multi-pass by default, which breaks
+FFTW's single-precision accuracy contract (max rel err <= 1e-3,
+``fftw/libbench2/bench-main.c:70``).  All transform contractions therefore
+default to ``Precision.HIGHEST`` (bf16x6 on the MXU — still MXU-rate, ~3x
+the flops of one pass, and bandwidth-bound FFTs rarely notice).  Set
+``matmul_precision = "default"`` to trade accuracy for raw MXU throughput.
+"""
+from __future__ import annotations
+
+import jax
+
+#: 'highest' (accuracy contract, default) | 'default' (fast, ~bf16)
+matmul_precision: str = "highest"
+
+
+def precision():
+    return (jax.lax.Precision.HIGHEST if matmul_precision == "highest"
+            else jax.lax.Precision.DEFAULT)

@@ -1,0 +1,108 @@
+"""Real-input / real-output DFT solver builders (rdft2 format).
+
+``r2c`` maps real ``(..., n)`` to complex ``(..., n//2+1)`` (FFTW's rdft2
+format, reference ``fftw/fftw_api.c:9298-9410``); ``c2r`` is the unnormalized
+inverse (``c2r(r2c(x)) = n*x``).
+
+Solver map to the reference (SURVEY.md section 2.4):
+
+* ``r2c_pack`` / ``c2r_pack`` — even n via a half-size complex DFT over
+  packed even/odd samples plus an untangling twiddle pass; this is the
+  TPU-shaped replacement for the rdft2-ct-hc2c codelet path
+  (fftw/fftw_api.c:5552-6190).
+* ``r2c_via_c2c`` / ``c2r_via_c2c`` — any n by complex embedding /
+  Hermitian extension (rdft2-rdft analog, fftw/fftw_api.c:6482-6761).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import c2c as c2c_ops
+
+Apply = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+def full_spectrum(X: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Reconstruct the length-n Hermitian spectrum from its n//2+1 half."""
+    mirror = jnp.conj(X[..., 1:(n + 1) // 2])[..., ::-1]
+    return jnp.concatenate([X, mirror], axis=-1)
+
+
+def build_r2c(desc: Dict, rdtype) -> Apply:
+    alg = desc["alg"]
+    n = desc["n"]
+    ctype = c2c_ops.complex_dtype(rdtype)
+
+    if alg == "r2c_via_c2c":
+        child = c2c_ops.build_c2c(desc["child"], -1, rdtype)
+
+        def apply_via(x):
+            X = child(x.astype(ctype))
+            return X[..., : n // 2 + 1]
+        return apply_via
+
+    if alg == "r2c_pack":
+        assert n % 2 == 0
+        m = n // 2
+        child = c2c_ops.build_c2c(desc["child"], -1, rdtype)
+        k = np.arange(m + 1, dtype=np.int64)
+        w = np.asarray(np.exp(-2j * np.pi * k / n), dtype=ctype)
+
+        def apply_pack(x):
+            z = x[..., 0::2] + 1j * x[..., 1::2]
+            Z = child(z.astype(ctype))
+            Zf = jnp.concatenate([Z, Z[..., :1]], axis=-1)       # Z[0..m]
+            Zr = jnp.conj(Zf[..., ::-1])                          # conj Z[m-k]
+            Ze = 0.5 * (Zf + Zr)
+            Zo = -0.5j * (Zf - Zr)
+            return Ze + w * Zo
+        return apply_pack
+
+    raise ValueError(f"unknown r2c algorithm {alg!r}")
+
+
+def build_c2r(desc: Dict, rdtype) -> Apply:
+    alg = desc["alg"]
+    n = desc["n"]
+    ctype = c2c_ops.complex_dtype(rdtype)
+
+    if alg == "c2r_via_c2c":
+        child = c2c_ops.build_c2c(desc["child"], +1, rdtype)
+
+        def apply_via(X):
+            return jnp.real(child(full_spectrum(X.astype(ctype), n)))
+        return apply_via
+
+    if alg == "c2r_pack":
+        assert n % 2 == 0
+        m = n // 2
+        child = c2c_ops.build_c2c(desc["child"], +1, rdtype)
+        k = np.arange(m + 1, dtype=np.int64)
+        w = np.asarray(np.exp(+2j * np.pi * k / n), dtype=ctype)
+
+        def apply_pack(X):
+            X = X.astype(ctype)
+            Xr = jnp.conj(X[..., ::-1])                           # conj X[m-k]
+            Ze = 0.5 * (X + Xr)
+            Zo = 0.5 * (X - Xr) * w
+            Z = (Ze + 1j * Zo)[..., :m]
+            z = child(Z) * 2.0                                    # unnormalized
+            out = jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
+            return out.reshape(*z.shape[:-1], n)
+        return apply_pack
+
+    raise ValueError(f"unknown c2r algorithm {alg!r}")
+
+
+def r2c_opcount(desc: Dict) -> Dict[str, float]:
+    child = c2c_ops.c2c_opcount(desc["child"])
+    n = desc["n"]
+    extra = 6.0 * (n // 2 + 1)
+    return {"add": child["add"] + extra, "mul": child["mul"] + extra,
+            "fma": child["fma"]}
+
+
+c2r_opcount = r2c_opcount

@@ -1,0 +1,411 @@
+"""The planner: cost-driven algorithm search with persistent wisdom.
+
+This is the TPU-native re-design of FFTW's planner
+(reference ``fftw/fftw_api.c:14748-15700``): a memoized recursive search over
+a registered solver space, with an ESTIMATE cost model (analog of
+``fftw_iestimate_cost``, fftw_api.c:15106-15121), a MEASURE mode that times
+compiled candidates on the actual device (analog of
+``fftw_measure_execution_time``, fftw_api.c:18584-18640), a patience ladder
+(ESTIMATE -> MEASURE -> PATIENT -> EXHAUSTIVE widening the candidate set,
+analog of the impatience-flag relaxation ``relax_tab``, fftw_api.c:15253-15262),
+and JSON-serializable *wisdom* memoizing results per (kind, n, dtype, device)
+(analog of the blessed wisdom hashtable + export format, fftw_api.c:15466).
+
+The *plan descriptor* is a JSON-able dict tree; builders in ``ops/`` turn a
+descriptor into a pure jittable apply closure.  Descriptors are the unit of
+wisdom, so plans re-materialize deterministically from wisdom alone.
+"""
+from __future__ import annotations
+
+import json
+import math
+import time
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from . import kinds as K
+from .ops import c2c as c2c_ops
+from .ops import r2r as r2r_ops
+from .ops import real as real_ops
+from .utils import primes
+
+# ---------------------------------------------------------------------------
+# Hardware model for the ESTIMATE cost heuristic.  Only *relative* accuracy
+# matters (MEASURE mode corrects the rest).  Defaults model one TPU v5e chip.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class HardwareModel:
+    hbm_bw: float = 8.0e11          # bytes/s
+    peak_flops: float = 4.0e13      # f32 MXU flops/s
+    vpu_flops: float = 4.0e12       # elementwise flops/s
+    mxu_k: int = 128                # systolic contraction width
+    gather_penalty: float = 4.0     # gathers/scatters are lane-hostile
+
+    def matmul_eff(self, k: int) -> float:
+        """MXU efficiency for a contraction of width k."""
+        return min(k, self.mxu_k) / self.mxu_k
+
+
+HW = HardwareModel()
+
+#: Largest leaf DFT-matrix size the planner will consider "direct".  FFTW's
+#: codelets stop at 64 because opcount matters on CPUs; on TPU the MXU makes
+#: larger dense leaves profitable, bounded by VMEM tiles.
+DIRECT_MAX = 128
+#: Cap for the O(n^2) last-resort dense solver (dft-generic analog).
+GENERIC_MAX = 2048
+
+
+def _c2c_cost(desc: Dict, hw: HardwareModel = HW) -> float:
+    """Estimated seconds per single 1-D transform (batch-amortized)."""
+    alg, n = desc["alg"], desc["n"]
+    el = 8.0  # complex64 bytes
+    if alg == "nop" or n == 1:
+        return 0.0
+    if alg == "direct":
+        bytes_moved = 2 * el * n
+        flops = 8.0 * n * n
+        return bytes_moved / hw.hbm_bw + flops / (hw.peak_flops *
+                                                  hw.matmul_eff(n))
+    if alg == "mixed":
+        p = desc["p"]
+        stage = (2 * el * n / hw.hbm_bw
+                 + 8.0 * p * n / (hw.peak_flops * hw.matmul_eff(p))
+                 + 6.0 * n / hw.vpu_flops)
+        return stage + p * _c2c_cost(desc["child"], hw)
+    if alg == "bluestein":
+        m = desc["m"]
+        extra = 6.0 * el * m / hw.hbm_bw + 12.0 * m / hw.vpu_flops
+        return 2 * _c2c_cost(desc["child"], hw) + extra
+    if alg == "rader":
+        extra = hw.gather_penalty * 4 * el * n / hw.hbm_bw
+        return 2 * _c2c_cost(desc["child"], hw) + 6.0 * n / hw.vpu_flops + extra
+    if alg == "xla":
+        # modeled as a generic log-n pipeline; MEASURE decides its real worth
+        return 2 * el * n * max(1.0, math.log2(n)) / hw.hbm_bw
+    raise ValueError(alg)
+
+
+def _mixed_factor_candidates(n: int, patience: int) -> List[int]:
+    """Divisor choices p<=DIRECT_MAX for one Cooley-Tukey split, best first.
+
+    Mirrors fftw_choose_radix / the buddies heuristic (fftw_api.c:14622-14674):
+    prefer large MXU-friendly leaves, keep the cofactor smooth.
+    """
+    divs = [d for d in primes.divisors(n) if 2 <= d <= DIRECT_MAX and d != n]
+    if not divs:
+        return []
+    # rank: prefer p close to sqrt(n) from above, then larger p
+    def rank(p):
+        q = n // p
+        balance = abs(math.log2(p * p / n))
+        return (balance, -p)
+    divs.sort(key=rank)
+    width = {K.PATIENCE_ESTIMATE: 3, K.PATIENCE_MEASURE: 4,
+             K.PATIENCE_PATIENT: 8, K.PATIENCE_EXHAUSTIVE: 64}[patience]
+    return divs[:width]
+
+
+class Planner:
+    """Singleton-style planner with wisdom (fftw_the_planner analog)."""
+
+    def __init__(self, hw: HardwareModel = HW):
+        self.hw = hw
+        self.wisdom: Dict[str, Dict] = {}
+        self.timelimit: Optional[float] = None
+        self._measure_t0: float = 0.0
+        self.stats = {"nplan": 0, "nmeasure": 0, "nwisdom_hit": 0}
+        #: hook called with (key, desc, cost) on every planned subproblem —
+        #: the instrumentation point used by paranoid verification
+        #: (planner->hook analog, fftw/fftw_api.h:865-867).
+        self.hook: Optional[Callable[[str, Dict, float], None]] = None
+
+    # -- wisdom keys ------------------------------------------------------
+    def _key(self, kind: str, n: int, rdtype) -> str:
+        dev = _device_signature()
+        return f"{kind}:{n}:{np.dtype(rdtype).name}:{dev}"
+
+    # -- public entry points ----------------------------------------------
+    def plan_c2c(self, n: int, rdtype, patience: int) -> Dict:
+        return self._plan("c2c", n, rdtype, patience)
+
+    def plan_r2c(self, n: int, rdtype, patience: int) -> Dict:
+        return self._plan("r2c", n, rdtype, patience)
+
+    def plan_c2r(self, n: int, rdtype, patience: int) -> Dict:
+        return self._plan("c2r", n, rdtype, patience)
+
+    def plan_r2r(self, kind: K.Kind, n: int, rdtype, patience: int) -> Dict:
+        return self._plan(kind.value, n, rdtype, patience)
+
+    # -- core search --------------------------------------------------------
+    def _plan(self, kind: str, n: int, rdtype, patience: int) -> Dict:
+        key = self._key(kind, n, rdtype)
+        hit = self.wisdom.get(key)
+        if hit is not None and hit["patience"] >= patience:
+            self.stats["nwisdom_hit"] += 1
+            return hit["desc"]
+        self.stats["nplan"] += 1
+        cands = self._candidates(kind, n, rdtype, patience)
+        if not cands:
+            raise ValueError(f"no applicable solver for {kind} n={n}")
+        if patience == K.PATIENCE_ESTIMATE or len(cands) == 1:
+            best = min(cands, key=lambda d: self._cost(kind, d))
+            cost = self._cost(kind, best)
+        else:
+            self._measure_t0 = time.perf_counter()
+            best, cost = self._measure_best(kind, n, rdtype, cands)
+        self.wisdom[key] = {"desc": best, "patience": patience, "cost": cost}
+        if self.hook is not None:
+            self.hook(key, best, cost)
+        return best
+
+    def _candidates(self, kind: str, n: int, rdtype,
+                    patience: int) -> List[Dict]:
+        if kind == "c2c":
+            return self._candidates_c2c(n, rdtype, patience)
+        if kind == "r2c":
+            out = []
+            if n % 2 == 0 and n > 2:
+                out.append({"alg": "r2c_pack", "n": n,
+                            "child": self.plan_c2c(n // 2, rdtype, patience)})
+            out.append({"alg": "r2c_via_c2c", "n": n,
+                        "child": self.plan_c2c(n, rdtype, patience)})
+            return out
+        if kind == "c2r":
+            out = []
+            if n % 2 == 0 and n > 2:
+                out.append({"alg": "c2r_pack", "n": n,
+                            "child": self.plan_c2c(n // 2, rdtype, patience)})
+            out.append({"alg": "c2r_via_c2c", "n": n,
+                        "child": self.plan_c2c(n, rdtype, patience)})
+            return out
+        # ---- r2r kinds ----
+        out = []
+        if kind == "dht":
+            out.append({"alg": "dht_via_r2c", "n": n,
+                        "child": self.plan_r2c(n, rdtype, patience)})
+        elif kind == "r2hc":
+            out.append({"alg": "r2hc_via_r2c", "n": n,
+                        "child": self.plan_r2c(n, rdtype, patience)})
+        elif kind == "hc2r":
+            out.append({"alg": "hc2r_via_c2r", "n": n,
+                        "child": self.plan_c2r(n, rdtype, patience)})
+        elif kind == "redft10":
+            out.append({"alg": "redft10_half", "n": n,
+                        "child": self.plan_r2c(n, rdtype, patience)})
+        elif kind == "redft01":
+            out.append({"alg": "redft01_half", "n": n,
+                        "child": self.plan_c2r(n, rdtype, patience)})
+        elif kind == "redft00" and n > 1:
+            out.append({"alg": "redft00_ext", "n": n,
+                        "child": self.plan_r2c(2 * (n - 1), rdtype, patience)})
+        elif kind == "rodft00":
+            out.append({"alg": "rodft00_ext", "n": n,
+                        "child": self.plan_r2c(2 * (n + 1), rdtype, patience)})
+        elif kind == "redft11":
+            out.append({"alg": "redft11_2n", "n": n,
+                        "child": self.plan_c2c(2 * n, rdtype, patience)})
+        elif kind == "rodft10":
+            out.append({"alg": "rodft10_flip", "n": n,
+                        "child": self.plan_r2r(K.Kind.REDFT10, n, rdtype,
+                                               patience)})
+        elif kind == "rodft01":
+            out.append({"alg": "rodft01_flip", "n": n,
+                        "child": self.plan_r2r(K.Kind.REDFT01, n, rdtype,
+                                               patience)})
+        elif kind == "rodft11":
+            out.append({"alg": "rodft11_flip", "n": n,
+                        "child": self.plan_r2r(K.Kind.REDFT11, n, rdtype,
+                                               patience)})
+        if n <= GENERIC_MAX:
+            out.append({"alg": "r2r_matmul", "kind": kind, "n": n})
+        return out
+
+    def _candidates_c2c(self, n: int, rdtype, patience: int) -> List[Dict]:
+        out: List[Dict] = []
+        if n == 1:
+            return [{"alg": "nop", "n": 1}]
+        if n <= DIRECT_MAX or (n <= GENERIC_MAX and
+                               primes.largest_prime_factor(n) > 64):
+            out.append({"alg": "direct", "n": n})
+        for p in _mixed_factor_candidates(n, patience):
+            child = self.plan_c2c(n // p, rdtype, patience)
+            out.append({"alg": "mixed", "n": n, "p": p, "child": child})
+        lpf = primes.largest_prime_factor(n)
+        if lpf > DIRECT_MAX or (patience >= K.PATIENCE_PATIENT and n > 16):
+            m = primes.next_pow2(2 * n - 1)
+            out.append({"alg": "bluestein", "n": n, "m": m,
+                        "child": self.plan_c2c(m, rdtype, patience)})
+            m5 = primes.next_fast_size(2 * n - 1, smooth=5)
+            if m5 != m and patience >= K.PATIENCE_PATIENT:
+                out.append({"alg": "bluestein", "n": n, "m": m5,
+                            "child": self.plan_c2c(m5, rdtype, patience)})
+        if primes.is_prime(n) and n > DIRECT_MAX:
+            nm1 = self.plan_c2c(n - 1, rdtype, patience)
+            out.append({"alg": "rader", "n": n, "child": nm1})
+        if patience >= K.PATIENCE_MEASURE:
+            out.append({"alg": "xla", "n": n})
+        return out
+
+    # -- cost ----------------------------------------------------------------
+    def _cost(self, kind: str, desc: Dict) -> float:
+        if kind == "c2c":
+            return _c2c_cost(desc, self.hw)
+        if kind in ("r2c", "c2r"):
+            if desc["alg"] in ("r2c_pack", "c2r_pack"):
+                return 0.55 * _c2c_cost(desc["child"], self.hw) \
+                    + 8.0 * desc["n"] / self.hw.hbm_bw
+            return _c2c_cost(desc["child"], self.hw) \
+                + 16.0 * desc["n"] / self.hw.hbm_bw
+        # r2r
+        if desc["alg"] == "r2r_matmul":
+            n = desc["n"]
+            return (8.0 * n / self.hw.hbm_bw
+                    + 2.0 * n * n / (self.hw.peak_flops * self.hw.matmul_eff(n)))
+        child_kind = {"dht_via_r2c": "r2c", "r2hc_via_r2c": "r2c",
+                      "hc2r_via_c2r": "c2r", "redft10_half": "r2c",
+                      "redft01_half": "c2r", "redft00_ext": "r2c",
+                      "rodft00_ext": "r2c", "redft11_2n": "c2c",
+                      "rodft10_flip": "r2r", "rodft01_flip": "r2r",
+                      "rodft11_flip": "r2r"}[desc["alg"]]
+        if child_kind == "r2r":
+            return self._cost("r2r", desc["child"]) \
+                + 8.0 * desc["n"] / self.hw.hbm_bw
+        return self._cost(child_kind, desc["child"]) \
+            + 16.0 * desc["n"] / self.hw.hbm_bw
+
+    # -- MEASURE mode ----------------------------------------------------
+    def _measure_best(self, kind: str, n: int, rdtype, cands: List[Dict]):
+        """Time compiled candidates, keep the fastest (measure() analog:
+        repeat-doubling, min-of-k; fftw/fftw_api.c:18584-18640)."""
+        import jax
+
+        best, best_t = None, float("inf")
+        # order by estimate so a timelimit still leaves a good plan
+        cands = sorted(cands, key=lambda d: self._cost(kind, d))
+        for desc in cands:
+            if (self.timelimit is not None and best is not None
+                    and time.perf_counter() - self._measure_t0 > self.timelimit):
+                break
+            try:
+                fn = jax.jit(build_apply(kind, desc, rdtype))
+                x = _sample_input(kind, n, rdtype)
+                fn(x).block_until_ready()            # compile + warm
+                t = _time_min(lambda: fn(x).block_until_ready())
+                self.stats["nmeasure"] += 1
+            except Exception:
+                continue
+            if t < best_t:
+                best, best_t = desc, t
+        if best is None:  # all candidates failed to compile: fall back
+            best = min(cands, key=lambda d: self._cost(kind, d))
+            best_t = self._cost(kind, best)
+        return best, best_t
+
+    # -- wisdom I/O (fftw_export_wisdom analog, fftw_api.c:895-1171) ------
+    def export_wisdom(self) -> str:
+        return json.dumps({"format": "fftw3-tpu-wisdom-1",
+                           "signature": _device_signature(),
+                           "entries": self.wisdom}, indent=1)
+
+    def import_wisdom(self, s: str) -> bool:
+        try:
+            data = json.loads(s)
+            if data.get("format") != "fftw3-tpu-wisdom-1":
+                return False
+            self.wisdom.update(data["entries"])
+            return True
+        except (json.JSONDecodeError, KeyError, TypeError):
+            return False
+
+    def forget_wisdom(self) -> None:
+        self.wisdom.clear()
+
+
+# ---------------------------------------------------------------------------
+# descriptor -> apply dispatch shared by Plan and MEASURE
+# ---------------------------------------------------------------------------
+
+def build_apply(kind: str, desc: Dict, rdtype):
+    if kind == "c2c":      # forward; backward built by caller with sign
+        return c2c_ops.build_c2c(desc, K.FORWARD, rdtype)
+    if kind == "r2c":
+        return real_ops.build_r2c(desc, rdtype)
+    if kind == "c2r":
+        return real_ops.build_c2r(desc, rdtype)
+    return r2r_ops.build_r2r(desc, rdtype)
+
+
+def _sample_input(kind: str, n: int, rdtype):
+    import jax.numpy as jnp
+    batch = max(1, (1 << 20) // max(n, 1))
+    rng = np.random.default_rng(0)
+    if kind == "c2c":
+        x = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+        return jnp.asarray(x, dtype=c2c_ops.complex_dtype(rdtype))
+    if kind == "c2r":
+        x = rng.standard_normal((batch, n // 2 + 1)) \
+            + 1j * rng.standard_normal((batch, n // 2 + 1))
+        return jnp.asarray(x, dtype=c2c_ops.complex_dtype(rdtype))
+    return jnp.asarray(rng.standard_normal((batch, n)), dtype=rdtype)
+
+
+def _time_min(thunk, reps: int = 3, min_time: float = 2e-3) -> float:
+    """Min-of-reps timing with repeat-doubling calibration
+    (libbench2/timer.c:101-116 analog)."""
+    iters = 1
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            thunk()
+        dt = time.perf_counter() - t0
+        if dt >= min_time or iters >= 1 << 20:
+            break
+        iters *= 2
+    best = dt / iters
+    for _ in range(reps - 1):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            thunk()
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def _device_signature() -> str:
+    try:
+        import jax
+        d = jax.devices()[0]
+        return f"{jax.default_backend()}-{getattr(d, 'device_kind', 'cpu')}" \
+            .replace(" ", "_")
+    except Exception:
+        return "host"
+
+
+# ---------------------------------------------------------------------------
+# plan printing (fftw_sprint_plan analog, fftw/fftw_api.c:15917-16124)
+# ---------------------------------------------------------------------------
+
+def sprint_desc(desc: Dict) -> str:
+    alg = desc["alg"]
+    n = desc.get("n")
+    if alg == "mixed":
+        return f"(mixed-{desc['p']}/{n} {sprint_desc(desc['child'])})"
+    if alg == "bluestein":
+        return f"(bluestein-{n}->{desc['m']} {sprint_desc(desc['child'])})"
+    if alg == "rader":
+        return f"(rader-{n} {sprint_desc(desc['child'])})"
+    if alg == "r2r_matmul":
+        return f"(matmul-{desc['kind']}-{n})"
+    if "child" in desc:
+        return f"({alg}-{n} {sprint_desc(desc['child'])})"
+    return f"({alg}-{n})"
+
+
+#: module-level planner singleton (fftw_the_planner analog,
+#: fftw/fftw_api.c:793-800)
+the_planner = Planner()
