@@ -1,0 +1,159 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Metric convention is FFTW's (reference ``fftw/libbench2/mflops.c``):
+complex transforms score ``5*N*log2(N)/t`` "normalized flops", real/r2r
+``2.5*N*log2(N)/t``; timing is min-of-k with repeat-doubling calibration
+(``libbench2/timer.c:101-116``).
+
+``vs_baseline`` is the fraction of the single-pass HBM-bandwidth roofline
+(the BASELINE.md north-star: >=80% of the 5N*log2N roofline per chip):
+an out-of-place c2c at minimum moves 16 bytes/point, so
+roofline = 5*log2(N) * BW/16 convention-flops/s.
+
+Usage: ``python bench.py [--quick] [--suite]``.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _bw_peak() -> float:
+    """HBM bandwidth of the attached chip (bytes/s)."""
+    import jax
+    kind = getattr(jax.devices()[0], "device_kind", "cpu").lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 8.19e11
+    if "v5p" in kind or "v5" in kind:
+        return 2.765e12
+    if "v4" in kind:
+        return 1.2e12
+    if "v6" in kind or "trillium" in kind:
+        return 1.64e12
+    return 1.0e11  # CPU-ish fallback
+
+
+def _timers():
+    from fftw3_tpu.utils import timing
+    return timing.time_chained, timing.time_dispatched
+
+
+def bench_c2c_1d(n: int, batch: int):
+    import jax
+    import jax.numpy as jnp
+
+    import fftw3_tpu as ftpu
+
+    plan = ftpu.plan_many_dft([n], howmany=batch, dtype="complex64")
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+
+    @jax.jit
+    def run(a, b):
+        y = plan.apply(a + 1j * b)
+        return jnp.real(y), jnp.imag(y)
+
+    time_chained, _ = _timers()
+    t = time_chained(run, (xr, xi))
+    flops = 5.0 * n * np.log2(n) * batch
+    return flops / t, t, repr(plan)
+
+
+def bench_c2c_3d(n: int):
+    import jax
+    import jax.numpy as jnp
+
+    import fftw3_tpu as ftpu
+
+    plan = ftpu.plan_dft((n, n, n), dtype="complex64")
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+
+    @jax.jit
+    def run(a, b):
+        y = plan.apply(a + 1j * b)
+        return jnp.real(y), jnp.imag(y)
+
+    time_chained, _ = _timers()
+    t = time_chained(run, (xr, xi))
+    flops = 5.0 * (n ** 3) * np.log2(float(n) ** 3)
+    return flops / t, t, repr(plan)
+
+
+def bench_r2c_2d(n: int):
+    import jax
+    import jax.numpy as jnp
+
+    import fftw3_tpu as ftpu
+
+    plan = ftpu.plan_dft_r2c((n, n), dtype="float32")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+
+    @jax.jit
+    def run(a):
+        y = plan.apply(a)
+        return jnp.real(y), jnp.imag(y)
+
+    _, time_dispatched = _timers()
+    t = time_dispatched(run, (x,))
+    flops = 2.5 * (n * n) * np.log2(float(n) * n)
+    return flops / t, t, repr(plan)
+
+
+def bench_dct2(n: int, batch: int):
+    import jax
+    import jax.numpy as jnp
+
+    import fftw3_tpu as ftpu
+
+    plan = ftpu.plan_r2r((batch, n), ["redft10"], axes=(1,), dtype="float32")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+    run = jax.jit(plan.apply)
+    time_chained, _ = _timers()
+    t = time_chained(lambda a: (run(a),), (x,))
+    flops = 2.5 * n * np.log2(float(n)) * batch
+    return flops / t, t, repr(plan)
+
+
+def main():
+    quick = "--quick" in sys.argv
+    suite = "--suite" in sys.argv
+    bw = _bw_peak()
+
+    n, batch = 1024, (256 if quick else 4096)
+    gf, t, desc = bench_c2c_1d(n, batch)
+    roofline = 5.0 * np.log2(n) * (bw / 16.0)
+    details = {"c2c_1d_1024_b%d" % batch:
+               {"gflops": gf / 1e9, "sec": t, "plan": desc}}
+
+    if suite:
+        for name, fn in [("c2c_3d_128", lambda: bench_c2c_3d(128)),
+                         ("c2c_1d_1000_b4096",
+                          lambda: bench_c2c_1d(1000, 4096)),
+                         ("r2c_2d_2048", lambda: bench_r2c_2d(2048)),
+                         ("dct2_512_b4096", lambda: bench_dct2(512, 4096))]:
+            g2, t2, d2 = fn()
+            details[name] = {"gflops": g2 / 1e9, "sec": t2, "plan": d2}
+            print(f"# {name}: {g2/1e9:.1f} GFLOPS ({t2*1e6:.0f} us) {d2}",
+                  file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "c2c_1d_n1024_batched_gflops",
+        "value": round(gf / 1e9, 2),
+        "unit": "GFLOPS(5NlogN)",
+        "vs_baseline": round(gf / roofline, 4),
+    }))
+    for k, v in details.items():
+        print(f"# {k}: {v['gflops']:.1f} GFLOPS ({v['sec']*1e6:.0f} us)",
+              file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

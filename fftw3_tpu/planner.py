@@ -117,6 +117,10 @@ class Planner:
         self.hw = hw
         self.wisdom: Dict[str, Dict] = {}
         self.timelimit: Optional[float] = None
+        #: let MEASURE mode also time XLA's built-in FFT custom-call as a
+        #: competitor solver (off by default: the engine's own solvers are
+        #: the product; flip on to sanity-check against the platform).
+        self.allow_xla = False
         self._measure_t0: float = 0.0
         self.stats = {"nplan": 0, "nmeasure": 0, "nwisdom_hit": 0}
         #: hook called with (key, desc, cost) on every planned subproblem —
@@ -248,7 +252,7 @@ class Planner:
         if primes.is_prime(n) and n > DIRECT_MAX:
             nm1 = self.plan_c2c(n - 1, rdtype, patience)
             out.append({"alg": "rader", "n": n, "child": nm1})
-        if patience >= K.PATIENCE_MEASURE:
+        if self.allow_xla and patience >= K.PATIENCE_MEASURE:
             out.append({"alg": "xla", "n": n})
         return out
 
@@ -293,10 +297,10 @@ class Planner:
                     and time.perf_counter() - self._measure_t0 > self.timelimit):
                 break
             try:
+                from .utils import timing
                 fn = jax.jit(build_apply(kind, desc, rdtype))
                 x = _sample_input(kind, n, rdtype)
-                fn(x).block_until_ready()            # compile + warm
-                t = _time_min(lambda: fn(x).block_until_ready())
+                t = timing.time_dispatched(fn, (x,), k1=2, k2=12, reps=2)
                 self.stats["nmeasure"] += 1
             except Exception:
                 continue
