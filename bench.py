@@ -52,10 +52,7 @@ def bench_c2c_1d(n: int, batch: int):
     xr = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
     xi = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
 
-    @jax.jit
-    def run(a, b):
-        y = plan.apply(a + 1j * b)
-        return jnp.real(y), jnp.imag(y)
+    run = jax.jit(plan.apply_split)
 
     time_chained, _ = _timers()
     t = time_chained(run, (xr, xi))
@@ -127,7 +124,10 @@ def main():
     suite = "--suite" in sys.argv
     bw = _bw_peak()
 
-    n, batch = 1024, (256 if quick else 4096)
+    # batch sized to amortize the fixed per-dispatch tunnel latency (the
+    # driver measures through a remote-TPU tunnel with ~0.3 ms floor);
+    # 64 Mi points of work puts device time well above that floor.
+    n, batch = 1024, (256 if quick else 65536)
     gf, t, desc = bench_c2c_1d(n, batch)
     roofline = 5.0 * np.log2(n) * (bw / 16.0)
     details = {"c2c_1d_1024_b%d" % batch:

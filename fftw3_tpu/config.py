@@ -14,7 +14,12 @@ import jax
 #: 'highest' (accuracy contract, default) | 'default' (fast, ~bf16)
 matmul_precision: str = "highest"
 
+#: Pallas codelet tier mode: 'auto' (compiled on TPU, interpreted elsewhere)
+#: | 'on' (always compiled) | 'interpret' | 'off' (planner skips it)
+pallas_mode: str = "auto"
+
 
 def precision():
-    return (jax.lax.Precision.HIGHEST if matmul_precision == "highest"
-            else jax.lax.Precision.DEFAULT)
+    return {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH}.get(
+        matmul_precision, jax.lax.Precision.DEFAULT)

@@ -5,16 +5,28 @@ planner) into a pure, jittable ``apply`` closure acting on the last axis of a
 complex array ``(..., n) -> (..., n)``.  Transforms are unnormalized; ``sign``
 is FFTW_FORWARD (-1) or FFTW_BACKWARD (+1).
 
+The core representation is **split complex**: every algorithm is built as a
+function ``(xr, xi) -> (yr, yi)`` on real arrays (:func:`build_c2c_split`).
+This is the TPU-native choice — the MXU/VPU are real-arithmetic units, XLA
+lowers complex ops to real ones anyway, and the split form (a) lets us use
+the 3-real-matmul Karatsuba complex product instead of XLA's 4, (b) feeds
+the Pallas fused-Stockham kernels directly, and (c) crosses the host<->TPU
+boundary (which cannot carry complex arrays on some transports).
+:func:`build_c2c` wraps it back into a complex-in/complex-out closure.
+
 Solver map to the reference (see SURVEY.md section 2.3):
 
 * ``nop``       — dft-nop               (fftw/fftw_api.c:3959-4012)
 * ``direct``    — dft-direct + dft-generic, unified: a whole-transform DFT
                   matrix multiply.  On TPU this is the *right* leaf: an
-                  (B, n) @ (n, n) complex matmul runs on the MXU
+                  (B, n) @ (n, n) matmul runs on the MXU
                   (fftw_api.c:3131-3377, :3390-3519)
 * ``mixed``     — dft-ct Cooley-Tukey, in the transposed four-step (Stockham
                   autosort) formulation: no bit reversal, every stage is a
                   batched matmul + twiddle + transpose (fftw_api.c:2068-3103)
+* ``pallas``    — the fused multi-stage Stockham pipeline as ONE Pallas
+                  kernel (whole transform in VMEM, single HBM pass); the
+                  codelet tier analog (SURVEY.md §2.6), see pallas_stockham.py
 * ``rader``     — dft-rader, prime n via (n-1)-point cyclic convolution
                   (fftw_api.c:4139-4413)
 * ``bluestein`` — dft-bluestein, any n via chirp-z convolution at a padded
@@ -24,7 +36,7 @@ Solver map to the reference (see SURVEY.md section 2.3):
 """
 from __future__ import annotations
 
-from typing import Callable, Dict
+from typing import Callable, Dict, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -34,6 +46,8 @@ from ..utils import primes
 from . import matrices
 
 Apply = Callable[[jnp.ndarray], jnp.ndarray]
+SplitApply = Callable[[jnp.ndarray, jnp.ndarray],
+                      Tuple[jnp.ndarray, jnp.ndarray]]
 
 
 def complex_dtype(rdtype) -> np.dtype:
@@ -41,38 +55,78 @@ def complex_dtype(rdtype) -> np.dtype:
         else np.dtype(np.complex128)
 
 
-def build_c2c(desc: Dict, sign: int, rdtype) -> Apply:
-    """Build the apply closure for a c2c descriptor tree."""
-    alg = desc["alg"]
-    n = desc["n"]
-    ctype = complex_dtype(rdtype)
+def cmatmul(xr, xi, Fr, Fi):
+    """Karatsuba complex matmul: 3 real matmuls instead of 4.
 
-    if alg == "nop" or n == 1:
+    (xr + i xi)(Fr + i Fi): t1 = xr@Fr, t2 = xi@Fi,
+    t3 = (xr+xi)@(Fr+Fi); yr = t1-t2, yi = t3-t1-t2.
+    """
+    prec = config.precision()
+    t1 = jnp.matmul(xr, Fr, precision=prec)
+    t2 = jnp.matmul(xi, Fi, precision=prec)
+    t3 = jnp.matmul(xr + xi, Fr + Fi, precision=prec)
+    return t1 - t2, t3 - t1 - t2
+
+
+def cmul(ar, ai, br, bi):
+    """Pointwise complex multiply in split form."""
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def build_c2c(desc: Dict, sign: int, rdtype) -> Apply:
+    """Complex-in/complex-out wrapper over the split-core builder."""
+    split = build_c2c_split(desc, sign, rdtype)
+    if desc["alg"] == "nop" or desc["n"] == 1:
         return lambda x: x
 
-    if alg == "direct":
-        F = np.asarray(matrices.dft_matrix(n, sign), dtype=ctype)
+    def apply(x):
+        yr, yi = split(jnp.real(x), jnp.imag(x))
+        return yr + 1j * yi
+    return apply
 
-        def apply_direct(x):
-            return jnp.matmul(x, F, precision=config.precision())
-        return apply_direct
+
+def build_c2c_split(desc: Dict, sign: int, rdtype) -> SplitApply:
+    """Build the split-complex apply closure for a c2c descriptor tree."""
+    alg = desc["alg"]
+    n = desc["n"]
+    rdtype = np.dtype(rdtype)
+
+    if alg == "nop" or n == 1:
+        return lambda xr, xi: (xr, xi)
+
+    if alg == "direct":
+        F = matrices.dft_matrix(n, sign)
+        Fr = np.ascontiguousarray(F.real, dtype=rdtype)
+        Fi = np.ascontiguousarray(F.imag, dtype=rdtype)
+        return lambda xr, xi: cmatmul(xr, xi, Fr, Fi)
 
     if alg == "mixed":
         p = desc["p"]
         q = n // p
-        Fp = np.asarray(matrices.dft_matrix(p, sign), dtype=ctype)
-        tw = np.asarray(matrices.twiddle_2d(p, q, sign), dtype=ctype)
-        child = build_c2c(desc["child"], sign, rdtype)
+        F = matrices.dft_matrix(p, sign)
+        Fr = np.ascontiguousarray(F.real, dtype=rdtype)
+        Fi = np.ascontiguousarray(F.imag, dtype=rdtype)
+        tw = matrices.twiddle_2d(p, q, sign)
+        twr = np.ascontiguousarray(tw.real, dtype=rdtype)
+        twi = np.ascontiguousarray(tw.imag, dtype=rdtype)
+        child = build_c2c_split(desc["child"], sign, rdtype)
 
-        def apply_mixed(x):
-            shp = x.shape[:-1]
-            x = x.reshape(*shp, p, q)
-            # DFT_p along axis -2: contraction on the MXU.
-            y = jnp.einsum("...pq,pc->...cq", x, Fp,
-                           precision=config.precision())
-            z = child(y * tw)                       # recurse on last axis
-            return jnp.swapaxes(z, -1, -2).reshape(*shp, n)
+        def apply_mixed(xr, xi):
+            shp = xr.shape[:-1]
+            xr = jnp.swapaxes(xr.reshape(*shp, p, q), -1, -2)   # (.., q, p)
+            xi = jnp.swapaxes(xi.reshape(*shp, p, q), -1, -2)
+            yr, yi = cmatmul(xr, xi, Fr, Fi)                    # DFT_p
+            yr = jnp.swapaxes(yr, -1, -2)                       # (.., p, q)
+            yi = jnp.swapaxes(yi, -1, -2)
+            zr, zi = child(*cmul(yr, yi, twr, twi))             # along q
+            zr = jnp.swapaxes(zr, -1, -2).reshape(*shp, n)
+            zi = jnp.swapaxes(zi, -1, -2).reshape(*shp, n)
+            return zr, zi
         return apply_mixed
+
+    if alg == "pallas":
+        from . import pallas_stockham
+        return pallas_stockham.build_pallas_c2c_split(desc, sign, rdtype)
 
     if alg == "bluestein":
         m = desc["m"]
@@ -80,19 +134,21 @@ def build_c2c(desc: Dict, sign: int, rdtype) -> Apply:
         v = np.zeros(m, np.complex128)
         v[:n] = np.conj(c)
         v[m - n + 1:] = np.conj(c[1:])[::-1]
-        fwd = build_c2c(desc["child"], -1, rdtype)
-        bwd = build_c2c(desc["child"], +1, rdtype)
+        fwd = build_c2c_split(desc["child"], -1, rdtype)
+        bwd = build_c2c_split(desc["child"], +1, rdtype)
         # V = F(v) precomputed at plan time on host (exact f64 chirp).
-        V = np.fft.fft(v)
-        Vj = np.asarray(V / m, dtype=ctype)        # fold 1/m into kernel
-        cj = np.asarray(c, dtype=ctype)
+        V = np.fft.fft(v) / m                       # fold 1/m into kernel
+        Vr = np.ascontiguousarray(V.real, dtype=rdtype)
+        Vi = np.ascontiguousarray(V.imag, dtype=rdtype)
+        cr = np.ascontiguousarray(c.real, dtype=rdtype)
+        ci = np.ascontiguousarray(c.imag, dtype=rdtype)
 
-        def apply_bluestein(x):
-            u = x * cj
-            pad = [(0, 0)] * (u.ndim - 1) + [(0, m - n)]
-            U = fwd(jnp.pad(u, pad))
-            conv = bwd(U * Vj)
-            return cj * conv[..., :n]
+        def apply_bluestein(xr, xi):
+            ur, ui = cmul(xr, xi, cr, ci)
+            pad = [(0, 0)] * (ur.ndim - 1) + [(0, m - n)]
+            Ur, Ui = fwd(jnp.pad(ur, pad), jnp.pad(ui, pad))
+            sr, si = bwd(*cmul(Ur, Ui, Vr, Vi))
+            return cmul(sr[..., :n], si[..., :n], cr, ci)
         return apply_bluestein
 
     if alg == "rader":
@@ -105,25 +161,36 @@ def build_c2c(desc: Dict, sign: int, rdtype) -> Apply:
         # fftw/fftw_api.c:16541-16570).
         e = np.array([pow(ginv, t, p) for t in range(p - 1)], np.int64)
         b = np.exp(sign * 2j * np.pi * e / p)
-        fwd = build_c2c(desc["child"], -1, rdtype)
-        bwd = build_c2c(desc["child"], +1, rdtype)
-        B = np.asarray(np.fft.fft(b) / (p - 1), dtype=ctype)
-        perm_a = np.asarray(perm_a)
-        idx_out = np.asarray(idx_out)
+        fwd = build_c2c_split(desc["child"], -1, rdtype)
+        bwd = build_c2c_split(desc["child"], +1, rdtype)
+        B = np.fft.fft(b) / (p - 1)
+        Br = np.ascontiguousarray(B.real, dtype=rdtype)
+        Bi = np.ascontiguousarray(B.imag, dtype=rdtype)
 
-        def apply_rader(x):
-            a = x[..., perm_a]
-            conv = bwd(fwd(a) * B)
-            out = jnp.empty_like(x)
-            out = out.at[..., idx_out].set(x[..., 0:1] + conv)
-            out = out.at[..., 0].set(jnp.sum(x, axis=-1))
-            return out
+        def apply_rader(xr, xi):
+            ar, ai = xr[..., perm_a], xi[..., perm_a]
+            Ar, Ai = fwd(ar, ai)
+            convr, convi = bwd(*cmul(Ar, Ai, Br, Bi))
+            outr = jnp.empty_like(xr)
+            outi = jnp.empty_like(xi)
+            outr = outr.at[..., idx_out].set(xr[..., 0:1] + convr)
+            outi = outi.at[..., idx_out].set(xi[..., 0:1] + convi)
+            outr = outr.at[..., 0].set(jnp.sum(xr, axis=-1))
+            outi = outi.at[..., 0].set(jnp.sum(xi, axis=-1))
+            return outr, outi
         return apply_rader
 
     if alg == "xla":
         if sign == -1:
-            return lambda x: jnp.fft.fft(x, axis=-1)
-        return lambda x: jnp.fft.ifft(x, axis=-1) * n
+            def apply_xf(xr, xi):
+                y = jnp.fft.fft(xr + 1j * xi, axis=-1)
+                return jnp.real(y), jnp.imag(y)
+            return apply_xf
+
+        def apply_xb(xr, xi):
+            y = jnp.fft.ifft(xr + 1j * xi, axis=-1) * n
+            return jnp.real(y), jnp.imag(y)
+        return apply_xb
 
     raise ValueError(f"unknown c2c algorithm {alg!r}")
 
@@ -139,17 +206,29 @@ def c2c_opcount(desc: Dict) -> Dict[str, float]:
     if alg == "nop" or n == 1:
         return {"add": 0.0, "mul": 0.0, "fma": 0.0}
     if alg in ("direct", "xla"):
-        # complex matmul: n^2 complex MACs = 4n^2 real mul + 4n^2 real add
-        return {"add": 4.0 * n * n, "mul": 0.0, "fma": 4.0 * n * n}
+        # Karatsuba complex matmul: 3 real matmuls of n^2 MACs
+        return {"add": 3.0 * n * n, "mul": 0.0, "fma": 3.0 * n * n}
     if alg == "mixed":
         p = desc["p"]
         q = n // p
         child = c2c_opcount(desc["child"])
         return {
-            "add": 4.0 * p * p * q + p * child["add"],
+            "add": 3.0 * p * p * q + p * child["add"],
             "mul": 6.0 * n + p * child["mul"],          # twiddle mult
-            "fma": 4.0 * p * p * q + p * child["fma"],
+            "fma": 3.0 * p * p * q + p * child["fma"],
         }
+    if alg == "pallas":
+        total = {"add": 0.0, "mul": 0.0, "fma": 0.0}
+        rest = n
+        for p in desc["radices"]:
+            q = rest // p
+            batch = n // rest
+            total["add"] += 3.0 * p * p * q * batch
+            total["fma"] += 3.0 * p * p * q * batch
+            if q > 1:
+                total["mul"] += 6.0 * rest * batch
+            rest = q
+        return total
     if alg == "bluestein":
         child = c2c_opcount(desc["child"])
         return {

@@ -1,0 +1,299 @@
+"""Fused Stockham FFT as a single Pallas TPU kernel — the codelet tier.
+
+This replaces the reference's generated-codelet forest (SURVEY.md §2.6,
+``fftw/dft_scalar/codelets/`` + 11 SIMD ISA dirs, kernel signatures
+``kdft``/``kdftw`` at ``fftw/fftw_api.h:1771-1835``) with ONE parametric
+kernel family, and its genfft generator (§2.10) with :func:`choose_radices`:
+*generate, count ops, let the planner choose* — but the "generation" is a
+radix schedule, not 42k lines of unrolled C.
+
+Why fusion is the win on TPU: the XLA path runs each Cooley-Tukey stage as a
+separate matmul+twiddle, and XLA does not fuse matmul chains, so an
+n = r1*...*rk transform makes k round trips to HBM.  FFTs are
+bandwidth-bound; this kernel keeps a (TILE_B, n) block of the batch resident
+in VMEM through *all* stages — one HBM read + one HBM write per point, the
+speed-of-light minimum (the same reasoning as FFTW's buffered solvers that
+tile through cache, ``fftw/fftw_api.c:1829-2062``, taken to its limit).
+
+**Layout strategy (Mosaic-constrained).**  The batch lives in the LANE
+dimension; all FFT index gymnastics happen in major/sublane dimensions,
+because Mosaic (this toolchain) supports: 2-D matmuls, 2-D transposes,
+reshapes/permutes that leave the lane dim intact, and lane merges/splits at
+128-multiples — but not lane-splitting reshapes to small factors, and its
+>2-D dot_general miscompiles (verified empirically).  So the kernel:
+
+1. loads a natural ``(TB, n)`` block, 2-D-transposes it in VMEM to
+   ``(n, TB)`` (batch -> lanes),
+2. runs the Stockham iteration with invariant array ``(rest, done, TB)``::
+
+       for radix p (q = rest // p):
+           A: (p, q, done, TB)        -- major-dim split of `rest`
+           Y[k1, ...] = sum_j1 F_p[j1, k1] * A[j1, ...]
+                       = 3 Karatsuba 2-D matmuls (p,p) @ (p, q*done*TB)
+           Y *= w[k1, j2] = exp(sign*2pi*i*j2*k1/rest)   (VPU broadcast)
+           A = Y permuted (q, p, done, TB) -> (q, p*done, TB)
+
+   computing X[k_done + done*(k1 + p*k2)] — autosorted, no bit reversal,
+3. transposes ``(n, TB)`` back and stores.
+
+Split complex (re, im) f32 planes; complex products in 3-real-matmul
+Karatsuba form.  All trig constants are computed on the host in float64
+(twiddle accuracy contract of ``fftw/fftw_api.c:18850-19040``) and streamed
+in as kernel operands (fetched once: their block index never changes).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from ..utils import primes
+from . import matrices
+
+#: largest stage radix (one (r, r) DFT-matrix contraction on the MXU)
+MAX_RADIX = 64
+#: fused-kernel applicability window.  Below MIN_N a single direct matmul
+#: (XLA) already runs in one pass; above MAX_N the ~15 live (n, TILE_B)
+#: f32 planes exceed the 16 MB scoped-VMEM limit — the planner then
+#: composes `mixed` stages around a pallas child.
+MIN_N = 128
+MAX_N = 2048
+
+
+def tile_for(n: int) -> int:
+    """Batch-lane tile: measured sweet spots under the 16 MB VMEM ceiling
+    (~15 live planes): 256 lanes up to n=1024, 128 up to n=2048."""
+    return 256 if n <= 1024 else 128
+
+
+def choose_radices(n: int) -> List[int]:
+    """Factor n into a (currently two-stage) radix schedule, largest-first.
+
+    Largest-first won the measured sweep ([64,16] beats [32,32] at n=1024):
+    more contraction width per (HBM-free) stage, and the first radix becomes
+    the `done` sublane extent, which wants to be >= 8 for layout efficiency.
+    Mirrors fftw_choose_radix's role (fftw/fftw_api.c:15750-15915) under TPU
+    rules.  Schedules are limited to <= 2 stages: this Mosaic toolchain
+    miscompiles the deeper pipelines (3-stage rejected at relayout), and two
+    radices <= 64 already cover every n <= 4096 with 64-smooth factors.
+    """
+    if n <= MAX_RADIX:
+        return [n]
+    best = None
+    for p in sorted(primes.divisors(n), reverse=True):
+        q = n // p
+        if p <= MAX_RADIX and 2 <= q <= MAX_RADIX:
+            best = [p, q]
+            break
+    if best is None:
+        raise ValueError(f"{n} has no two-factor schedule with radices "
+                         f"<= {MAX_RADIX}")
+    return best
+
+
+def applicable(n: int, rdtype) -> bool:
+    """Planner applicability predicate (the solver's `applicable` analog).
+
+    Like FFTW's per-solver ``applicable()`` gates (alignment/stride
+    predicates, SURVEY.md §2.7), this encodes layout constraints: f32 only,
+    VMEM-resident sizes, two-stage-factorable n, and a TPU backend (unless
+    interpret mode is forced for testing).
+    """
+    if config.pallas_mode == "off":
+        return False
+    if config.pallas_mode == "auto" and jax.default_backend() != "tpu":
+        return False
+    if np.dtype(rdtype) != np.float32:
+        return False                      # f64 handled by the XLA-path solvers
+    if n < MIN_N or n > MAX_N:
+        return False
+    try:
+        choose_radices(n)
+    except ValueError:
+        return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _stage_consts(n: int, radices: Sequence[int], sign: int):
+    """Host-side f64-accurate constants per stage: F_p (p,p), twiddle (p,q).
+
+    Twiddle laid out [k1, j2] to broadcast over (p, q, done, TB) directly.
+    """
+    out = []
+    rest = n
+    for p in radices:
+        q = rest // p
+        F = matrices.dft_matrix(p, sign)
+        consts = [np.ascontiguousarray(F.real, np.float32),
+                  np.ascontiguousarray(F.imag, np.float32)]
+        if q > 1:
+            e = np.mod(np.outer(np.arange(p, dtype=np.int64),
+                                np.arange(q, dtype=np.int64)), rest)
+            w = np.exp(sign * 2j * np.pi * e / rest)
+            consts += [np.ascontiguousarray(w.real, np.float32),
+                       np.ascontiguousarray(w.imag, np.float32)]
+        out.append(consts)
+        rest = q
+    return out
+
+
+def _cmatmul2d(Fr, Fi, ar, ai):
+    """(F^T x) in split complex: 3 Karatsuba 2-D matmuls on the MXU.
+
+    Fr/Fi: (p, p) with F[j1, k1]; a: (p, M).  Returns (p, M) rows k1.
+    DFT matrices are symmetric, so F^T @ a == F @ a.
+    """
+    prec = config.precision()
+    t1 = jnp.dot(Fr, ar, preferred_element_type=jnp.float32, precision=prec)
+    t2 = jnp.dot(Fi, ai, preferred_element_type=jnp.float32, precision=prec)
+    t3 = jnp.dot(Fr + Fi, ar + ai, preferred_element_type=jnp.float32,
+                 precision=prec)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _kernel(radices, n, tb, *refs):
+    """refs = (xr, xi, *stage_consts, yr, yi); blocks (TB, n)."""
+    xr_ref, xi_ref = refs[0], refs[1]
+    yr_ref, yi_ref = refs[-2], refs[-1]
+    crefs = refs[2:-2]
+
+    # batch -> lanes
+    ar = jnp.transpose(xr_ref[...])            # (n, TB)
+    ai = jnp.transpose(xi_ref[...])
+    done = 1
+    rest = n
+    ci = 0
+    for si, p in enumerate(radices):
+        q = rest // p
+        Fr = crefs[ci][...]
+        Fi = crefs[ci + 1][...]
+        ci += 2
+        # contraction over j1: 2-D matmul on (p, q*done*TB)
+        a2r = ar.reshape(p, q * done * tb)
+        a2i = ai.reshape(p, q * done * tb)
+        yr, yi = _cmatmul2d(Fr, Fi, a2r, a2i)
+        if done == 1:
+            # 3-D shapes: avoid a degenerate sublane-1 dimension
+            yr = yr.reshape(p, q, tb)
+            yi = yi.reshape(p, q, tb)
+            if q > 1:
+                wr = crefs[ci][...].reshape(p, q, 1)
+                wi = crefs[ci + 1][...].reshape(p, q, 1)
+                ci += 2
+                yr, yi = yr * wr - yi * wi, yr * wi + yi * wr
+            ar = jnp.transpose(yr, (1, 0, 2))          # (q, p, TB)
+            ai = jnp.transpose(yi, (1, 0, 2))
+        else:
+            yr = yr.reshape(p, q, done, tb)
+            yi = yi.reshape(p, q, done, tb)
+            if q > 1:
+                wr = crefs[ci][...].reshape(p, q, 1, 1)
+                wi = crefs[ci + 1][...].reshape(p, q, 1, 1)
+                ci += 2
+                yr, yi = yr * wr - yi * wi, yr * wi + yi * wr
+            # (p, q, done, TB) -> (q, p, done, TB) -> (q, p*done, TB)
+            ar = jnp.transpose(yr, (1, 0, 2, 3)).reshape(q, p * done, tb)
+            ai = jnp.transpose(yi, (1, 0, 2, 3)).reshape(q, p * done, tb)
+        done *= p
+        rest = q
+    # lanes -> batch
+    yr_ref[...] = jnp.transpose(ar.reshape(n, tb))
+    yi_ref[...] = jnp.transpose(ai.reshape(n, tb))
+
+
+def _make_call(n: int, radices: Sequence[int], sign: int, tb: int,
+               interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    consts = _stage_consts(n, radices, sign)
+    flat_consts = [c for stage in consts for c in stage]
+    kernel = partial(_kernel, tuple(radices), n, tb)
+
+    data_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+                   for c in flat_consts]
+    flops_per_block = int(6 * n * sum(radices) * tb)
+
+    def run(xr, xi):
+        B = xr.shape[0]
+        grid = (B // tb,)
+        out_shape = [jax.ShapeDtypeStruct((B, n), jnp.float32)] * 2
+        fn = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[data_spec, data_spec] + const_specs,
+            out_specs=[data_spec, data_spec],
+            out_shape=out_shape,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=flops_per_block * grid[0],
+                bytes_accessed=int(4 * B * n * 4),
+                transcendentals=0),
+        )
+        return fn(xr, xi, *flat_consts)
+
+    return run
+
+
+def build_pallas_c2c_split(desc: Dict, sign: int, rdtype):
+    """Split-complex apply for {"alg": "pallas", "n": n, "radices": [...]}.
+
+    Handles arbitrary leading batch dims; pads the flattened batch up to the
+    TILE_B multiple.  Falls back to interpret mode off-TPU (tests) unless
+    config.pallas_mode forces otherwise.
+    """
+    n = desc["n"]
+    radices = desc.get("radices") or choose_radices(n)
+    assert math.prod(radices) == n, (radices, n)
+    tb = desc.get("tile_b") or tile_for(n)
+    mode = config.pallas_mode
+    if mode == "auto":
+        interpret = jax.default_backend() != "tpu"
+    elif mode == "interpret":
+        interpret = True
+    else:
+        interpret = False
+    call = _make_call(n, radices, sign, tb, interpret)
+    # VJP of an unnormalized DFT is the opposite-sign unnormalized DFT
+    # (the real-split map [[A,-B],[B,A]] has transpose [[A,B],[-B,A]],
+    # i.e. conj(F) = F_{-sign}); built lazily, only if grads are taken.
+    adj_call = [None]
+
+    def _run(xr, xi, c):
+        shp = xr.shape[:-1]
+        B = int(np.prod(shp)) if shp else 1
+        xr2 = xr.reshape(B, n)
+        xi2 = xi.reshape(B, n)
+        Bp = -(-B // tb) * tb
+        if Bp != B:
+            xr2 = jnp.pad(xr2, ((0, Bp - B), (0, 0)))
+            xi2 = jnp.pad(xi2, ((0, Bp - B), (0, 0)))
+        yr, yi = c(xr2, xi2)
+        return yr[:B].reshape(*shp, n), yi[:B].reshape(*shp, n)
+
+    @jax.custom_vjp
+    def apply(xr, xi):
+        return _run(xr, xi, call)
+
+    def fwd(xr, xi):
+        return apply(xr, xi), None
+
+    def bwd(_, g):
+        if adj_call[0] is None:
+            adj_call[0] = _make_call(n, radices, -sign, tb, interpret)
+        return _run(g[0], g[1], adj_call[0])
+
+    apply.defvjp(fwd, bwd)
+    return apply

@@ -38,6 +38,16 @@ def _along_axis(fn: Callable, axis: int) -> Callable:
     return apply
 
 
+def _along_axis_split(fn: Callable, axis: int) -> Callable:
+    """Lift a split-complex last-axis transform to an arbitrary axis."""
+    def apply(xr, xi):
+        if axis in (-1, xr.ndim - 1):
+            return fn(xr, xi)
+        yr, yi = fn(jnp.moveaxis(xr, axis, -1), jnp.moveaxis(xi, axis, -1))
+        return jnp.moveaxis(yr, -1, axis), jnp.moveaxis(yi, -1, axis)
+    return apply
+
+
 @dataclass(frozen=True)
 class Problem:
     """Logical transform specification (problem ADT analog)."""
@@ -71,13 +81,17 @@ class Plan:
 
     def __init__(self, problem: Problem, descriptors: Dict[int, Dict],
                  apply_fn: Callable, in_shape: Tuple[int, ...],
-                 out_shape: Tuple[int, ...], out_dtype):
+                 out_shape: Tuple[int, ...], out_dtype,
+                 apply_split: Optional[Callable] = None):
         self.problem = problem
         self.descriptors = descriptors          # axis -> planner descriptor
         self._apply = apply_fn
         self.in_shape = in_shape
         self.out_shape = out_shape
         self.out_dtype = out_dtype
+        #: split-complex entry point (c2c only): (xr, xi) -> (yr, yi).
+        #: Tunnel-friendly and avoids complex at the program boundary.
+        self.apply_split = apply_split
         self._jitted = jax.jit(apply_fn)
 
     # -- execution (fftw_execute + new-array execute, fftw_api.c:428-487) --
@@ -156,12 +170,26 @@ def make_plan(problem: Problem, flags: int = K.ESTIMATE,
     in_shape = shape
 
     if problem.kind == "c2c":
+        # split-complex through the whole multi-axis pipeline: one
+        # real/imag split at entry, one combine at exit (TPU-native form)
+        split_stages = []
         for a in axes:
             desc = pl.plan_c2c(shape[a], rdtype, patience)
             descriptors[a] = desc
-            fn = c2c_ops.build_c2c(desc, problem.sign, rdtype)
-            stages.append(_along_axis(fn, a))
-        out_shape, out_dtype = shape, ctype
+            fn = c2c_ops.build_c2c_split(desc, problem.sign, rdtype)
+            split_stages.append(_along_axis_split(fn, a))
+
+        def apply_split(xr, xi):
+            for s in split_stages:
+                xr, xi = s(xr, xi)
+            return xr, xi
+
+        def apply_c2c(x):
+            yr, yi = apply_split(jnp.real(x), jnp.imag(x))
+            return yr + 1j * yi
+
+        return Plan(problem, descriptors, apply_c2c, shape, shape, ctype,
+                    apply_split=apply_split)
 
     elif problem.kind == "r2c":
         last = axes[-1]

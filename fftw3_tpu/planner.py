@@ -87,6 +87,13 @@ def _c2c_cost(desc: Dict, hw: HardwareModel = HW) -> float:
     if alg == "xla":
         # modeled as a generic log-n pipeline; MEASURE decides its real worth
         return 2 * el * n * max(1.0, math.log2(n)) / hw.hbm_bw
+    if alg == "pallas":
+        # fused kernel: ONE HBM pass for the whole pipeline (measured at
+        # ~1.25x the pure-copy floor), plus MXU time per stage
+        t = 1.25 * 2 * el * n / hw.hbm_bw
+        for p in desc["radices"]:
+            t += 6.0 * p * n / (hw.peak_flops * hw.matmul_eff(p))
+        return t
     raise ValueError(alg)
 
 
@@ -237,6 +244,10 @@ class Planner:
         if n <= DIRECT_MAX or (n <= GENERIC_MAX and
                                primes.largest_prime_factor(n) > 64):
             out.append({"alg": "direct", "n": n})
+        from .ops import pallas_stockham
+        if pallas_stockham.applicable(n, rdtype):
+            out.append({"alg": "pallas", "n": n,
+                        "radices": pallas_stockham.choose_radices(n)})
         for p in _mixed_factor_candidates(n, patience):
             child = self.plan_c2c(n // p, rdtype, patience)
             out.append({"alg": "mixed", "n": n, "p": p, "child": child})
