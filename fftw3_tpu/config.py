@@ -18,6 +18,10 @@ matmul_precision: str = "highest"
 #: | 'on' (always compiled) | 'interpret' | 'off' (planner skips it)
 pallas_mode: str = "auto"
 
+#: Route plan-time host work (ESTIMATE search, hashing, wisdom) through the
+#: native C++ tier when the shared library is available (fftw3_tpu/native.py)
+use_native: bool = True
+
 
 def precision():
     return {"highest": jax.lax.Precision.HIGHEST,

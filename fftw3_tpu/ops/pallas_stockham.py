@@ -96,6 +96,16 @@ def choose_radices(n: int) -> List[int]:
     return best
 
 
+def backend_allows(rdtype) -> bool:
+    """The n-independent part of the applicability gate: f32 only, and a
+    TPU backend unless interpret mode is forced (testing)."""
+    if config.pallas_mode == "off":
+        return False
+    if config.pallas_mode == "auto" and jax.default_backend() != "tpu":
+        return False
+    return np.dtype(rdtype) == np.float32   # f64 -> XLA-path solvers
+
+
 def applicable(n: int, rdtype) -> bool:
     """Planner applicability predicate (the solver's `applicable` analog).
 
@@ -104,12 +114,8 @@ def applicable(n: int, rdtype) -> bool:
     VMEM-resident sizes, two-stage-factorable n, and a TPU backend (unless
     interpret mode is forced for testing).
     """
-    if config.pallas_mode == "off":
+    if not backend_allows(rdtype):
         return False
-    if config.pallas_mode == "auto" and jax.default_backend() != "tpu":
-        return False
-    if np.dtype(rdtype) != np.float32:
-        return False                      # f64 handled by the XLA-path solvers
     if n < MIN_N or n > MAX_N:
         return False
     try:

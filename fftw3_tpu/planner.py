@@ -25,6 +25,7 @@ from typing import Callable, Dict, List, Optional
 
 import numpy as np
 
+from . import config
 from . import kinds as K
 from .ops import c2c as c2c_ops
 from .ops import r2r as r2r_ops
@@ -161,6 +162,16 @@ class Planner:
             self.stats["nwisdom_hit"] += 1
             return hit["desc"]
         self.stats["nplan"] += 1
+        if (kind == "c2c" and patience == K.PATIENCE_ESTIMATE
+                and config.use_native):
+            desc = self._plan_c2c_native(n, rdtype, patience)
+            if desc is not None:
+                cost = self._cost("c2c", desc)
+                self.wisdom[key] = {"desc": desc, "patience": patience,
+                                    "cost": cost}
+                if self.hook is not None:
+                    self.hook(key, desc, cost)
+                return desc
         cands = self._candidates(kind, n, rdtype, patience)
         if not cands:
             raise ValueError(f"no applicable solver for {kind} n={n}")
@@ -174,6 +185,20 @@ class Planner:
         if self.hook is not None:
             self.hook(key, best, cost)
         return best
+
+    def _plan_c2c_native(self, n: int, rdtype, patience: int
+                         ) -> Optional[Dict]:
+        """Deterministic ESTIMATE search in the C++ tier (same policy as
+        the Python path; equality unit-tested).  None -> fall back."""
+        try:
+            from . import native
+            from .ops import pallas_stockham
+        except ImportError:
+            return None
+        if not native.available():
+            return None
+        allow = pallas_stockham.backend_allows(rdtype)
+        return native.plan_c2c(n, patience, allow, self.hw)
 
     def _candidates(self, kind: str, n: int, rdtype,
                     patience: int) -> List[Dict]:
