@@ -11,16 +11,29 @@ See SURVEY.md at the repo root for the mapping to the reference (FFTW 3.3.8).
 from . import parallel  # noqa: F401
 from .api import (  # noqa: F401
     BACKWARD, ESTIMATE, EXHAUSTIVE, FORWARD, MEASURE, PATIENT, Kind, Plan,
-    Problem, cleanup, cost, dct, dht, dst, execute, export_wisdom_to_filename,
-    export_wisdom_to_string, fft, fft2, fftfreq, fftn, fftshift, flops,
-    forget_wisdom, idct, idst, ifft, ifft2, ifftn, ifftshift,
-    import_wisdom_from_filename, import_wisdom_from_string, irfft, irfft2,
-    irfftn, plan_dft, plan_dft_1d, plan_dft_2d, plan_dft_3d, plan_dft_c2r,
-    plan_dft_c2r_1d, plan_dft_c2r_2d, plan_dft_c2r_3d, plan_dft_r2c,
-    plan_dft_r2c_1d, plan_dft_r2c_2d, plan_dft_r2c_3d, plan_guru_dft,
-    plan_many_dft, plan_r2r, plan_r2r_1d, print_plan, rfft, rfft2, rfftfreq,
-    rfftn, set_timelimit, sprint_plan)
+    Problem, cleanup, cost, dct, dht, dst, estimate_cost, execute,
+    export_wisdom_to_filename, export_wisdom_to_string, fft, fft2, fftfreq,
+    fftn, fftshift, flops, forget_wisdom, idct, idst, ifft, ifft2, ifftn,
+    ifftshift, import_system_wisdom, import_wisdom_from_filename,
+    import_wisdom_from_string, irfft, irfft2, irfftn, plan_dft, plan_dft_1d,
+    plan_dft_2d, plan_dft_3d, plan_dft_c2r, plan_dft_c2r_1d, plan_dft_c2r_2d,
+    plan_dft_c2r_3d, plan_dft_r2c, plan_dft_r2c_1d, plan_dft_r2c_2d,
+    plan_dft_r2c_3d, plan_guru_dft, plan_many_dft, plan_r2r, plan_r2r_1d,
+    print_plan, rfft, rfft2, rfftfreq, rfftn, set_timelimit, sprint_plan)
+from .guru import plan_guru_dft  # noqa: F401  (iodim-aware; shadows api's)
+from .guru import (  # noqa: F401
+    ManyPlan, SplitPlan, execute_dft, execute_dft_c2r, execute_dft_r2c,
+    execute_r2r, execute_split_dft, iodim, iodim64, plan_guru64_dft,
+    plan_guru64_dft_c2r, plan_guru64_dft_r2c, plan_guru64_r2r,
+    plan_guru64_split_dft, plan_guru_dft_c2r, plan_guru_dft_r2c,
+    plan_guru_r2r, plan_guru_split_dft, plan_many_dft_c2r, plan_many_dft_r2c,
+    plan_many_r2r)
+from .threads import (  # noqa: F401
+    cleanup_threads, init_threads, make_planner_thread_safe,
+    plan_with_nthreads, planner_nthreads)
 from .planner import the_planner  # noqa: F401
 
 __version__ = "0.1.0"
 from . import config  # noqa: F401
+from . import harness  # noqa: F401
+from . import interfaces  # noqa: F401

@@ -221,6 +221,43 @@ def import_wisdom_from_filename(path: str) -> bool:
         return False
 
 
+def import_system_wisdom() -> bool:
+    """fftw_import_system_wisdom analog (fftw_api.c:895-917): load wisdom
+    from $FFTW3_TPU_SYSTEM_WISDOM or /etc/fftw3_tpu/wisdom.json."""
+    import os
+    path = os.environ.get("FFTW3_TPU_SYSTEM_WISDOM",
+                          "/etc/fftw3_tpu/wisdom.json")
+    return import_wisdom_from_filename(path)
+
+
+def estimate_cost(shape: Sequence[int], axes=None, kind: str = "c2c",
+                  dtype="complex64", r2r_kinds: Sequence = ()) -> float:
+    """fftw_estimate_cost analog: the planner's ESTIMATE-mode cost (seconds
+    per full transform, heuristic) without building the plan's closures."""
+    shape = tuple(shape)
+    axes = _axes_tuple(shape, axes)
+    pl = planner_mod.the_planner
+    rd = np.dtype(_rdtype_of(dtype))
+    pat = K.PATIENCE_ESTIMATE
+    total = 0.0
+    for i, a in enumerate(axes):
+        n = shape[a]
+        if kind == "r2r":
+            k = r2r_kinds[i] if i < len(r2r_kinds) else Kind.R2HC
+            k = k if isinstance(k, Kind) else Kind(str(k).lower())
+            total += pl._cost("r2r", pl.plan_r2r(k, n, rd, pat))
+        elif kind in ("r2c", "c2r") and a == axes[-1]:
+            desc = (pl.plan_r2c if kind == "r2c" else pl.plan_c2r)(n, rd, pat)
+            total += pl._cost(kind, desc)
+        else:
+            total += pl._cost("c2c", pl.plan_c2c(n, rd, pat))
+    batch = 1
+    for i, s in enumerate(shape):
+        if i not in axes:
+            batch *= s
+    return total * batch
+
+
 def forget_wisdom() -> None:
     planner_mod.the_planner.forget_wisdom()
     _cached_plan.cache_clear()

@@ -1,0 +1,227 @@
+"""API-parity tests: guru/guru64/split, advanced many with embeds,
+new-array execute, wisdom tooling, numpy/scipy interface modules."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import fftw3_tpu as ftpu
+from fftw3_tpu import guru
+from fftw3_tpu import kinds as K
+from fftw3_tpu.ops import matrices
+
+
+def _randc(rng, shape):
+    return (rng.standard_normal(shape)
+            + 1j * rng.standard_normal(shape)).astype(np.complex64)
+
+
+class TestGuru:
+    def test_guru_dft_iodims(self, rng):
+        p = ftpu.plan_guru_dft([guru.iodim(16), guru.iodim(8)],
+                               [guru.iodim(3)])
+        x = _randc(rng, (3, 16, 8))
+        got = np.asarray(p.execute(x))
+        want = np.fft.fft2(x, axes=(1, 2))
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-4
+
+    def test_guru_r2c_c2r(self, rng):
+        pf = ftpu.plan_guru_dft_r2c([32], [4])
+        pb = ftpu.plan_guru_dft_c2r([32], [4])
+        x = rng.standard_normal((4, 32)).astype(np.float32)
+        y = np.asarray(pb.execute(pf.execute(x)))
+        assert np.allclose(y, 32 * x, atol=1e-3 * 32)
+
+    def test_guru_r2r(self, rng):
+        p = ftpu.plan_guru_r2r([16], ["redft10"], [2])
+        x = rng.standard_normal((2, 16))
+        got = np.asarray(p.execute(x.astype(np.float32)))
+        want = x @ matrices.r2r_matrix("redft10", 16)
+        assert np.max(np.abs(got - want)) < 1e-3 * np.max(np.abs(want))
+
+    def test_guru64_aliases(self):
+        assert ftpu.plan_guru64_dft is ftpu.plan_guru_dft
+        assert ftpu.iodim64 is ftpu.iodim
+
+    def test_split_guru(self, rng):
+        sp = ftpu.plan_guru_split_dft([64], [2])
+        xr = rng.standard_normal((2, 64)).astype(np.float32)
+        xi = rng.standard_normal((2, 64)).astype(np.float32)
+        yr, yi = sp.execute(xr, xi)
+        want = np.fft.fft(xr + 1j * xi, axis=-1)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-4
+
+
+class TestMany:
+    def test_many_with_inembed(self, rng):
+        # transform 16-point rows embedded in 20-element storage rows
+        p = guru.plan_many_dft([16], howmany=3, inembed=[20])
+        x = _randc(rng, (3, 20))
+        got = np.asarray(p.execute(x))
+        want = np.fft.fft(x[:, :16], axis=-1)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-4
+
+    def test_many_with_onembed(self, rng):
+        p = guru.plan_many_dft([8], howmany=2, onembed=[12])
+        x = _randc(rng, (2, 8))
+        y = np.asarray(p.execute(x))
+        assert y.shape == (2, 12)
+        want = np.fft.fft(x, axis=-1)
+        assert np.allclose(y[:, :8], want, atol=1e-3 * np.max(np.abs(want)))
+        assert np.all(y[:, 8:] == 0)
+
+    def test_many_r2c(self, rng):
+        p = ftpu.plan_many_dft_r2c([32], howmany=5)
+        x = rng.standard_normal((5, 32)).astype(np.float32)
+        got = np.asarray(p.execute(x))
+        want = np.fft.rfft(x, axis=-1)
+        assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-4
+
+    def test_many_r2r(self, rng):
+        p = ftpu.plan_many_r2r([16], howmany=3, kinds=["dht"])
+        x = rng.standard_normal((3, 16)).astype(np.float32)
+        got = np.asarray(p.execute(x))
+        want = x @ matrices.r2r_matrix("dht", 16)
+        assert np.max(np.abs(got - want)) < 1e-3 * np.max(np.abs(want))
+
+    def test_bad_embed(self):
+        with pytest.raises(ValueError):
+            guru.plan_many_dft([16], howmany=1, inembed=[8])
+
+
+class TestExecuteVariants:
+    def test_kind_checks(self, rng):
+        pc = ftpu.plan_dft_1d(16)
+        pr = ftpu.plan_dft_r2c_1d(16)
+        x = _randc(rng, (16,))
+        assert ftpu.execute_dft(pc, x).shape == (16,)
+        with pytest.raises(ValueError):
+            ftpu.execute_dft(pr, rng.standard_normal(16))
+        with pytest.raises(ValueError):
+            ftpu.execute_dft_r2c(pc, x)
+
+    def test_execute_split(self, rng):
+        pc = ftpu.plan_dft_1d(16)
+        xr = rng.standard_normal(16).astype(np.float32)
+        xi = rng.standard_normal(16).astype(np.float32)
+        yr, yi = ftpu.execute_split_dft(pc, xr, xi)
+        want = np.fft.fft(xr + 1j * xi)
+        assert np.allclose(np.asarray(yr) + 1j * np.asarray(yi), want,
+                           atol=1e-3 * np.max(np.abs(want)))
+
+
+class TestWisdomTool:
+    def test_cli_roundtrip(self, tmp_path):
+        from fftw3_tpu.tools.wisdom import main
+        out = tmp_path / "wis.json"
+        assert main(["-e", "-o", str(out), "c64", "r32"]) == 0
+        data = json.loads(out.read_text())
+        assert data["format"] == "fftw3-tpu-wisdom-1"
+        assert len(data["entries"]) >= 2
+        ftpu.forget_wisdom()
+        assert ftpu.import_wisdom_from_filename(str(out))
+
+    def test_system_wisdom(self, tmp_path, monkeypatch):
+        out = tmp_path / "system.json"
+        ftpu.plan_dft_1d(64)
+        out.write_text(ftpu.export_wisdom_to_string())
+        monkeypatch.setenv("FFTW3_TPU_SYSTEM_WISDOM", str(out))
+        ftpu.forget_wisdom()
+        assert ftpu.import_system_wisdom()
+
+    def test_estimate_cost(self):
+        small = ftpu.estimate_cost((64,), kind="c2c")
+        big = ftpu.estimate_cost((4096,), kind="c2c")
+        assert 0 < small < big
+
+
+class TestInterfaces:
+    def test_numpy_fft_surface(self, rng):
+        from fftw3_tpu.interfaces import numpy_fft as nf
+        x = rng.standard_normal((4, 32))
+        assert np.allclose(np.asarray(nf.fft(x)), np.fft.fft(x), atol=1e-3)
+        assert np.allclose(np.asarray(nf.ifftn(nf.fftn(x))), x, atol=1e-3)
+        # hfft/ihfft against numpy (DC/Nyquist real: Hermitian-representable;
+        # outside that the c2r transform is undefined and backends differ)
+        xc = _randc(rng, (17,))
+        xc[0] = xc[0].real
+        xc[-1] = xc[-1].real
+        for norm in (None, "ortho", "forward"):
+            got = np.asarray(nf.hfft(xc, norm=norm))
+            want = np.fft.hfft(xc, norm=norm)
+            assert np.allclose(got, want, atol=1e-3 * max(1, np.max(np.abs(want)))), norm
+        xr = rng.standard_normal(32)
+        for norm in (None, "ortho", "forward"):
+            got = np.asarray(nf.ihfft(xr, norm=norm))
+            want = np.fft.ihfft(xr, norm=norm)
+            assert np.allclose(got, want, atol=1e-3), norm
+
+    @pytest.mark.parametrize("type_", [1, 2, 3, 4])
+    @pytest.mark.parametrize("norm", [None, "ortho", "forward"])
+    def test_scipy_dct_ortho_matrix(self, rng, type_, norm):
+        """Validate DCT norms against explicitly orthonormalized dense
+        matrices (scipy is not in the image; this is the same oracle)."""
+        from fftw3_tpu.interfaces import scipy_fft as sf
+        N = 16
+        x = rng.standard_normal((3, N))
+        M = matrices.r2r_matrix(f"redft{_FTYPE[type_]}", N)
+        if norm == "ortho":
+            M = _orthonormal_dct(type_, N)
+        elif norm == "forward":
+            den = 2.0 * (N - 1) if type_ == 1 else 2.0 * N
+            M = M / den
+        got = np.asarray(sf.dct(x, type=type_, norm=norm))
+        want = x @ M
+        assert np.max(np.abs(got - want)) < 1e-3 * max(
+            1.0, np.max(np.abs(want))), (type_, norm)
+
+    @pytest.mark.parametrize("type_", [1, 2, 3, 4])
+    def test_scipy_idct_roundtrip(self, rng, type_):
+        from fftw3_tpu.interfaces import scipy_fft as sf
+        N = 16
+        x = rng.standard_normal((2, N)).astype(np.float32)
+        for norm in (None, "ortho", "forward"):
+            y = np.asarray(sf.idct(sf.dct(x, type=type_, norm=norm),
+                                   type=type_, norm=norm))
+            assert np.max(np.abs(y - x)) < 1e-3, (type_, norm)
+
+    @pytest.mark.parametrize("type_", [1, 2, 3, 4])
+    def test_scipy_idst_roundtrip(self, rng, type_):
+        from fftw3_tpu.interfaces import scipy_fft as sf
+        N = 12
+        x = rng.standard_normal((2, N)).astype(np.float32)
+        for norm in (None, "ortho", "forward"):
+            y = np.asarray(sf.idst(sf.dst(x, type=type_, norm=norm),
+                                   type=type_, norm=norm))
+            assert np.max(np.abs(y - x)) < 1e-3, (type_, norm)
+
+    def test_dctn(self, rng):
+        from fftw3_tpu.interfaces import scipy_fft as sf
+        x = rng.standard_normal((8, 8)).astype(np.float32)
+        y = np.asarray(sf.idctn(sf.dctn(x, norm="ortho"), norm="ortho"))
+        assert np.max(np.abs(y - x)) < 1e-3
+
+
+_FTYPE = {1: "00", 2: "10", 3: "01", 4: "11"}
+
+
+def _orthonormal_dct(type_, N):
+    """Dense orthonormal DCT matrices (out = x @ M), scipy conventions."""
+    M = matrices.r2r_matrix(f"redft{_FTYPE[type_]}", N).copy()
+    if type_ == 1:
+        M[0, :] *= np.sqrt(2.0)
+        M[-1, :] *= np.sqrt(2.0)
+        M /= np.sqrt(2.0 * (N - 1))
+        M[:, 0] /= np.sqrt(2.0)
+        M[:, -1] /= np.sqrt(2.0)
+    elif type_ == 2:
+        M *= np.sqrt(1.0 / (2.0 * N))
+        M[:, 0] *= np.sqrt(0.5)
+    elif type_ == 3:
+        M /= np.sqrt(2.0 * N)
+        M[0, :] *= np.sqrt(2.0)
+    else:
+        M /= np.sqrt(2.0 * N)
+    return M
