@@ -91,8 +91,81 @@ def _transpose_ppermute(x, axis_name: str, split_axis: int, concat_axis: int):
     return jnp.concatenate(chunks, axis=concat_axis)
 
 
+def _transpose_recurse(x, axis_name: str, split_axis: int, concat_axis: int):
+    """Global transpose by recursive halving (transpose-recurse analog,
+    mpi/transpose-recurse.c): a log2(P)-step hypercube exchange.  Each step
+    swaps, with partner ``me XOR 2^k``, every chunk whose destination's bit
+    k differs from ours.  Moves (P/2)*log2(P) chunks total vs. P-1 for the
+    pairwise ring — more volume, exponentially fewer rounds; wins in
+    latency-bound regimes (huge P, small chunks).  Requires P a power of 2.
+    """
+    P_ = jax.lax.axis_size(axis_name)
+    if P_ & (P_ - 1):
+        raise ValueError("transpose-recurse needs a power-of-two mesh axis")
+    me = jax.lax.axis_index(axis_name)
+    parts = jnp.stack(jnp.split(x, P_, axis=split_axis))  # slot j: dst j
+    slots = jnp.arange(P_)
+    # Invariant after processing bit k: the chunk with (src s, dst d) sits
+    # on the rank matching d in bits <= k / s above, in the slot matching s
+    # in bits <= k / d above.  Each step sends the slots whose bit k
+    # differs from ours and stores the received ones XOR-reindexed, so
+    # after log2(P) steps slot j holds the chunk FROM source j.
+    k = 0
+    while (1 << k) < P_:
+        bit = 1 << k
+        perm = [(i, i ^ bit) for i in range(P_)]
+        sel = ((slots & bit) != (me & bit))
+        mshape = (P_,) + (1,) * (parts.ndim - 1)
+        selb = sel.reshape(mshape)
+        recv = jax.lax.ppermute(jnp.where(selb, parts, 0), axis_name, perm)
+        recv_x = jnp.take(recv, slots ^ bit, axis=0)   # slot j' -> j' ^ bit
+        parts = jnp.where(selb, recv_x, parts)
+        k += 1
+    chunks = [jnp.take(parts, i, axis=0) for i in range(P_)]
+    return jnp.concatenate(chunks, axis=concat_axis)
+
+
 _TRANSPOSE_IMPLS = {"all_to_all": _transpose_a2a,
-                    "ppermute": _transpose_ppermute}
+                    "ppermute": _transpose_ppermute,
+                    "recurse": _transpose_recurse}
+
+
+def measure_transpose_method(mesh: Mesh, axis_name: str,
+                             local_shape: Tuple[int, ...],
+                             dtype=np.complex64,
+                             methods: Sequence[str] = ("all_to_all",
+                                                       "ppermute",
+                                                       "recurse")) -> str:
+    """Time the registered global-transpose algorithms on the actual mesh
+    and return the fastest — FFTW's 'planner times all three MPI transpose
+    solvers and picks per problem' (SURVEY.md §5), TPU-native."""
+    from ..utils import timing
+
+    nproc = mesh.shape[axis_name]
+    best, best_t = "all_to_all", float("inf")
+    rng = np.random.default_rng(0)
+    shape = tuple(local_shape)
+    full = (shape[0] * nproc,) + shape[1:]
+    spec = P(*([axis_name] + [None] * (len(shape) - 1)))
+    x = jax.device_put(rng.standard_normal(full).astype(dtype),
+                       NamedSharding(mesh, spec))
+    for m in methods:
+        impl = _TRANSPOSE_IMPLS[m]
+        if m == "recurse" and nproc & (nproc - 1):
+            continue
+        if full[-1] % nproc:
+            continue
+        try:
+            fn = jax.jit(jax.shard_map(
+                lambda v, impl=impl: impl(v, axis_name, v.ndim - 1, 0),
+                mesh=mesh, in_specs=spec,
+                out_specs=P(*([None] * (len(shape) - 1) + [axis_name]))))
+            t = timing.time_dispatched(fn, (x,), k1=2, k2=10, reps=2)
+        except Exception:                              # noqa: BLE001
+            continue
+        if t < best_t:
+            best, best_t = m, t
+    return best
 
 
 class DistPlan:
@@ -322,3 +395,348 @@ def _apply_along(fn, x, axis):
     x = jnp.moveaxis(x, axis, -1)
     x = fn(x)
     return jnp.moveaxis(x, -1, axis)
+
+
+# ---------------------------------------------------------------------------
+# local_size family (the data-distribution oracle, mpi/api.c:248-510)
+# ---------------------------------------------------------------------------
+
+def local_size_2d(n0: int, n1: int, nproc: int, rank: int):
+    """(local_n0, local_0_start) for an (n0, n1) array block-distributed
+    over its first axis (fftw_mpi_local_size_2d analog; the 'alloc' return
+    is meaningless for logical arrays and omitted)."""
+    return local_size_1d(n0, nproc, rank)
+
+
+def local_size_3d(n0: int, n1: int, n2: int, nproc: int, rank: int):
+    return local_size_1d(n0, nproc, rank)
+
+
+def local_size_2d_transposed(n0: int, n1: int, nproc: int, rank: int):
+    """((local_n0, start0), (local_n1, start1)) — input block over axis 0
+    plus the TRANSPOSED_OUT block over axis 1 (local_size_2d_transposed)."""
+    return local_size_1d(n0, nproc, rank), local_size_1d(n1, nproc, rank)
+
+
+def local_size_3d_transposed(n0: int, n1: int, n2: int, nproc: int,
+                             rank: int):
+    return local_size_1d(n0, nproc, rank), local_size_1d(n1, nproc, rank)
+
+
+def local_size_many(n: Sequence[int], howmany: int, block0: Optional[int],
+                    nproc: int, rank: int):
+    """(local_n0, local_0_start) under an explicit block size
+    (fftw_mpi_local_size_many analog; block0=None -> default block)."""
+    n0 = n[0]
+    b = block0 or default_block(n0, nproc)
+    start = min(rank * b, n0)
+    return min(b, n0 - start), start
+
+
+# ---------------------------------------------------------------------------
+# standalone distributed transpose plan (fftw_mpi_plan_many_transpose,
+# mpi/api.c:521)
+# ---------------------------------------------------------------------------
+
+def plan_transpose(n0: int, n1: int, mesh: Mesh, axis_name: str = "x",
+                   howmany: int = 1, scrambled_out: bool = False,
+                   transpose_method: str = "all_to_all",
+                   dtype="complex64") -> DistPlan:
+    """Distributed (n0, n1) -> (n1, n0) transpose of row-distributed data.
+
+    Input global shape (n0, n1[, howmany]) sharded over axis 0; output
+    (n1, n0[, howmany]) sharded over axis 0.  With ``scrambled_out`` the
+    local transpose is skipped and each rank holds its (n0, n1/P) block
+    untouched (FFTW's TRANSPOSED/SCRAMBLED formats for chaining)."""
+    nproc = mesh.shape[axis_name]
+    if n0 % nproc or n1 % nproc:
+        raise ValueError(f"{n0}x{n1} transpose needs {nproc} | both dims")
+    transpose = _TRANSPOSE_IMPLS[transpose_method]
+    vec = (howmany,) if howmany > 1 else ()
+    shape = (n0, n1) + vec
+    in_spec = P(*([axis_name] + [None] * (len(shape) - 1)))
+    out_shape = (n1, n0) + vec
+    out_spec = in_spec
+
+    def local_fn(x):
+        # local (n0/P, n1, ...) -> gather rows, scatter cols
+        y = transpose(x, axis_name, split_axis=1, concat_axis=0)
+        # y: (n0, n1/P, ...)
+        if scrambled_out:
+            return y
+        return jnp.swapaxes(y, 0, 1)                    # (n1/P, n0, ...)
+
+    return DistPlan(local_fn, mesh, in_spec,
+                    in_spec if not scrambled_out else
+                    P(*([None, axis_name] + [None] * len(vec))),
+                    out_shape, f"transpose[{transpose_method}]"
+                    + ("-scrambled" if scrambled_out else ""))
+
+
+# ---------------------------------------------------------------------------
+# real and r2r distributed plans (the rdft/rdft2 MPI solver mirrors,
+# mpi/rdft-*.c, mpi/rdft2-*.c; SURVEY.md section 2.9)
+# ---------------------------------------------------------------------------
+
+def _pick_swap(shape, axes, shard_axis, last, nproc, cshape):
+    """Choose the axis that trades places with shard_axis in the global
+    transpose; prefer a full (non-halved) transform axis."""
+    for a in axes:
+        if a not in (shard_axis, last) and cshape[a] % nproc == 0:
+            return a
+    if last != shard_axis and cshape[last] % nproc == 0:
+        return last
+    raise ValueError(
+        f"no transform axis with extent divisible by mesh size {nproc} "
+        f"(complex shape {cshape}); pad or choose another mesh")
+
+
+def plan_dft_r2c_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
+                      axes: Optional[Sequence[int]] = None,
+                      shard_axis: int = 0, transposed_out: bool = False,
+                      flags: int = K.ESTIMATE, dtype="float32",
+                      transpose_method: str = "all_to_all") -> DistPlan:
+    """Slab-decomposed distributed r2c (mpi/rdft2 dft-rank-geq2 analog).
+
+    Real input of global `shape` sharded over `shard_axis`; complex output
+    (last transform axis halved to n//2+1) sharded over `shard_axis` (or the
+    swap axis with transposed_out).  The halved axis is transformed locally
+    (it is never the shard axis), so there is exactly one global transpose
+    pair, like the complex slab solver.
+    """
+    from .. import planner as planner_mod
+    from ..ops import c2c as c2c_ops
+    from ..ops import real as real_ops
+
+    shape = tuple(shape)
+    ndim = len(shape)
+    axes = tuple(a % ndim for a in (range(ndim) if axes is None else axes))
+    shard_axis %= ndim
+    last = axes[-1]
+    if last == shard_axis:
+        raise ValueError("the halved (last transform) axis must be local; "
+                         "shard a different axis")
+    nproc = mesh.shape[axis_name]
+    rdtype = np.float32 if np.dtype(dtype) in (np.float32, np.complex64) \
+        else np.float64
+    patience = K.patience_of_flags(flags)
+    pl = planner_mod.the_planner
+    transpose = _TRANSPOSE_IMPLS[transpose_method]
+
+    cshape = list(shape)
+    cshape[last] = shape[last] // 2 + 1
+    in_spec = P(*[axis_name if i == shard_axis else None
+                  for i in range(ndim)])
+
+    r2c_fn = real_ops.build_r2c(pl.plan_r2c(shape[last], rdtype, patience),
+                                rdtype)
+    mids = [a for a in axes if a not in (last, shard_axis)]
+    mid_fns = [(a, c2c_ops.build_c2c(pl.plan_c2c(shape[a], rdtype, patience),
+                                     K.FORWARD, rdtype)) for a in mids]
+    if shard_axis in axes:
+        swap = _pick_swap(shape, axes, shard_axis, last, nproc, cshape)
+        shard_fn = c2c_ops.build_c2c(
+            pl.plan_c2c(shape[shard_axis], rdtype, patience), K.FORWARD,
+            rdtype)
+    else:
+        swap = None
+        shard_fn = None
+
+    def local_fn(x):
+        x = _apply_along(r2c_fn, x, last)                 # halved, complex
+        for a, fn in mid_fns:
+            x = _apply_along(fn, x, a)
+        if swap is not None:
+            x = transpose(x, axis_name, split_axis=swap,
+                          concat_axis=shard_axis)
+            x = _apply_along(shard_fn, x, shard_axis)
+            if not transposed_out:
+                x = transpose(x, axis_name, split_axis=shard_axis,
+                              concat_axis=swap)
+        return x
+
+    out_axis = shard_axis if (swap is None or not transposed_out) else swap
+    out_spec = P(*[axis_name if i == out_axis else None
+                   for i in range(ndim)])
+    return DistPlan(local_fn, mesh, in_spec, out_spec, tuple(cshape),
+                    f"r2c-slab[{transpose_method}]"
+                    + ("-transposed_out" if transposed_out else ""))
+
+
+def plan_dft_c2r_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
+                      axes: Optional[Sequence[int]] = None,
+                      shard_axis: int = 0, flags: int = K.ESTIMATE,
+                      dtype="float32",
+                      transpose_method: str = "all_to_all") -> DistPlan:
+    """Inverse of plan_dft_r2c_dist: `shape` is the logical REAL shape;
+    input is the halved complex array sharded over shard_axis; output the
+    real array, same sharding.  Unnormalized (c2r(r2c(x)) == N*x)."""
+    from .. import planner as planner_mod
+    from ..ops import c2c as c2c_ops
+    from ..ops import real as real_ops
+
+    shape = tuple(shape)
+    ndim = len(shape)
+    axes = tuple(a % ndim for a in (range(ndim) if axes is None else axes))
+    shard_axis %= ndim
+    last = axes[-1]
+    if last == shard_axis:
+        raise ValueError("the halved (last transform) axis must be local")
+    nproc = mesh.shape[axis_name]
+    rdtype = np.float32 if np.dtype(dtype) in (np.float32, np.complex64) \
+        else np.float64
+    patience = K.patience_of_flags(flags)
+    pl = planner_mod.the_planner
+    transpose = _TRANSPOSE_IMPLS[transpose_method]
+
+    cshape = list(shape)
+    cshape[last] = shape[last] // 2 + 1
+    in_spec = P(*[axis_name if i == shard_axis else None
+                  for i in range(ndim)])
+
+    c2r_fn = real_ops.build_c2r(pl.plan_c2r(shape[last], rdtype, patience),
+                                rdtype)
+    mids = [a for a in axes if a not in (last, shard_axis)]
+    mid_fns = [(a, c2c_ops.build_c2c(pl.plan_c2c(shape[a], rdtype, patience),
+                                     K.BACKWARD, rdtype)) for a in mids]
+    if shard_axis in axes:
+        swap = _pick_swap(shape, axes, shard_axis, last, nproc, cshape)
+        shard_fn = c2c_ops.build_c2c(
+            pl.plan_c2c(shape[shard_axis], rdtype, patience), K.BACKWARD,
+            rdtype)
+    else:
+        swap, shard_fn = None, None
+
+    def local_fn(x):
+        if swap is not None:
+            x = transpose(x, axis_name, split_axis=swap,
+                          concat_axis=shard_axis)
+            x = _apply_along(shard_fn, x, shard_axis)
+            x = transpose(x, axis_name, split_axis=shard_axis,
+                          concat_axis=swap)
+        for a, fn in mid_fns:
+            x = _apply_along(fn, x, a)
+        return _apply_along(c2r_fn, x, last)
+
+    return DistPlan(local_fn, mesh, in_spec, in_spec, shape,
+                    f"c2r-slab[{transpose_method}]")
+
+
+def plan_r2r_dist(shape: Sequence[int], kinds, mesh: Mesh,
+                  axis_name: str = "x",
+                  axes: Optional[Sequence[int]] = None, shard_axis: int = 0,
+                  transposed_out: bool = False, flags: int = K.ESTIMATE,
+                  dtype="float32",
+                  transpose_method: str = "all_to_all") -> DistPlan:
+    """Distributed separable r2r (mpi/rdft r2r analog): per-axis kinds,
+    local passes over non-sharded axes, one global transpose pair for the
+    sharded axis."""
+    from .. import planner as planner_mod
+    from ..ops import r2r as r2r_ops
+
+    shape = tuple(shape)
+    ndim = len(shape)
+    axes = tuple(a % ndim for a in (range(ndim) if axes is None else axes))
+    shard_axis %= ndim
+    ks = [k if isinstance(k, K.Kind) else K.Kind(str(k).lower())
+          for k in (kinds if isinstance(kinds, (list, tuple))
+                    else [kinds] * len(axes))]
+    if len(ks) != len(axes):
+        raise ValueError("need one r2r kind per transform axis")
+    nproc = mesh.shape[axis_name]
+    rdtype = np.float32 if np.dtype(dtype) == np.float32 else np.float64
+    patience = K.patience_of_flags(flags)
+    pl = planner_mod.the_planner
+    transpose = _TRANSPOSE_IMPLS[transpose_method]
+
+    in_spec = P(*[axis_name if i == shard_axis else None
+                  for i in range(ndim)])
+    fns = {a: r2r_ops.build_r2r(pl.plan_r2r(k, shape[a], rdtype, patience),
+                                rdtype) for a, k in zip(axes, ks)}
+    if shard_axis in axes:
+        others = [a for a in axes if a != shard_axis and
+                  shape[a] % nproc == 0]
+        if not others:
+            raise ValueError("need a second transform axis divisible by "
+                             f"mesh size {nproc}")
+        swap = others[0]
+        if shape[shard_axis] % nproc:
+            raise ValueError(f"shard axis extent {shape[shard_axis]} not "
+                             f"divisible by {nproc}")
+    else:
+        swap = None
+
+    def local_fn(x):
+        for a in axes:
+            if a != shard_axis:
+                x = _apply_along(fns[a], x, a)
+        if swap is not None:
+            x = transpose(x, axis_name, split_axis=swap,
+                          concat_axis=shard_axis)
+            x = _apply_along(fns[shard_axis], x, shard_axis)
+            if not transposed_out:
+                x = transpose(x, axis_name, split_axis=shard_axis,
+                              concat_axis=swap)
+        return x
+
+    out_axis = swap if (swap is not None and transposed_out) else shard_axis
+    out_spec = P(*[axis_name if i == out_axis else None
+                   for i in range(ndim)])
+    return DistPlan(local_fn, mesh, in_spec, out_spec, shape,
+                    f"r2r-slab[{transpose_method}]")
+
+
+# ---------------------------------------------------------------------------
+# pencil decomposition: 3-D FFT over a 2-D mesh.  No FFTW analog (FFTW-MPI
+# is slab-only); on TPU a 2-D mesh maps onto the 2-D ICI torus, and pencil
+# scaling beats slab beyond P > n0 chips.
+# ---------------------------------------------------------------------------
+
+def plan_dft_pencil(shape: Sequence[int], mesh: Mesh,
+                    axis_names: Tuple[str, str] = ("y", "z"),
+                    sign: int = K.FORWARD, flags: int = K.ESTIMATE,
+                    dtype="complex64",
+                    transpose_method: str = "all_to_all") -> DistPlan:
+    """3-D c2c DFT with the array pencil-distributed over a 2-D mesh.
+
+    Input (n0, n1, n2) sharded P(y, z, None): each device owns an
+    (n0/Py, n1/Pz, n2) pencil.  Three local 1-D FFT passes separated by two
+    single-mesh-axis global transposes; output sharded P(None, y, z)
+    (the transposed-out layout; chain a plan_transpose to restore).
+    """
+    from .. import planner as planner_mod
+    from ..ops import c2c as c2c_ops
+
+    shape = tuple(shape)
+    if len(shape) != 3:
+        raise ValueError("pencil decomposition is for rank-3 transforms")
+    ay, az = axis_names
+    py, pz = mesh.shape[ay], mesh.shape[az]
+    n0, n1, n2 = shape
+    if n0 % py or n1 % pz or n1 % py or n2 % pz:
+        raise ValueError(f"pencil needs {py} | n0, {py} | n1, {pz} | n1, "
+                         f"{pz} | n2; got {shape}")
+    rdtype = np.float32 if np.dtype(dtype) in (np.float32, np.complex64) \
+        else np.float64
+    patience = K.patience_of_flags(flags)
+    pl = planner_mod.the_planner
+    transpose = _TRANSPOSE_IMPLS[transpose_method]
+    fns = [c2c_ops.build_c2c(pl.plan_c2c(n, rdtype, patience), sign, rdtype)
+           for n in shape]
+
+    in_spec = P(ay, az, None)
+    out_spec = P(None, ay, az)
+
+    def local_fn(x):
+        # local (n0/Py, n1/Pz, n2): axis 2 complete
+        x = fns[2](x)
+        # unshard axis 1 over z, scatter axis 2 -> (n0/Py, n1, n2/Pz)
+        x = transpose(x, az, split_axis=2, concat_axis=1)
+        x = _apply_along(fns[1], x, 1)
+        # unshard axis 0 over y, scatter axis 1 -> (n0, n1/Py, n2/Pz)
+        x = transpose(x, ay, split_axis=1, concat_axis=0)
+        x = _apply_along(fns[0], x, 0)
+        return x
+
+    return DistPlan(local_fn, mesh, in_spec, out_spec, shape,
+                    f"pencil[{transpose_method}]")
