@@ -1,0 +1,126 @@
+"""Spectral operators: derivatives, filters, and the distributed
+spectral-filter step (the flagship end-to-end "model" driven by
+``__graft_entry__.dryrun_multichip``).
+
+Pure, jittable, differentiable; the distributed variants run under
+``shard_map`` over a mesh with the engine's global-transpose solvers.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import api
+
+
+def _kvec(n: int, d: float = 1.0) -> np.ndarray:
+    return 2.0 * np.pi * np.fft.fftfreq(n, d)
+
+
+def derivative(x, order: int = 1, axis: int = -1, spacing: float = 1.0):
+    """Spectral derivative along `axis` of a real or complex periodic
+    signal (exact for band-limited inputs)."""
+    x = jnp.asarray(x)
+    axis = axis % x.ndim
+    n = x.shape[axis]
+    k = _kvec(n, spacing)
+    if n % 2 == 0 and order % 2 == 1:
+        k = k.copy()
+        k[n // 2] = 0.0                    # odd-order: Nyquist mode -> 0
+    mult = (1j * k) ** order
+    sh = [1] * x.ndim
+    sh[axis] = n
+    real_in = not jnp.issubdtype(x.dtype, jnp.complexfloating)
+    X = api.fft(x, axis=axis)
+    Y = X * jnp.asarray(mult, X.dtype).reshape(sh)
+    y = api.ifft(Y, axis=axis)
+    return jnp.real(y) if real_in else y
+
+
+def gradient(x, spacing: Sequence[float] = None):
+    """Tuple of spectral partial derivatives along every axis."""
+    x = jnp.asarray(x)
+    spacing = [1.0] * x.ndim if spacing is None else list(spacing)
+    return tuple(derivative(x, 1, a, spacing[a]) for a in range(x.ndim))
+
+
+def spectral_filter(x, transfer, axes: Sequence[int] = None):
+    """Apply a frequency-domain transfer function H (array broadcastable to
+    the spectrum) to a real signal: irfftn(H * rfftn(x))."""
+    x = jnp.asarray(x)
+    axes = tuple(range(x.ndim)) if axes is None else \
+        tuple(a % x.ndim for a in axes)
+    X = api.rfftn(x, axes=axes)
+    sizes = [x.shape[a] for a in axes]
+    return api.irfftn(X * transfer, s=sizes, axes=axes)
+
+
+def lowpass_transfer(shape: Sequence[int], cutoff: float) -> np.ndarray:
+    """Ideal low-pass H over the rfftn spectrum of `shape` (cutoff in
+    cycles/sample, 0..0.5)."""
+    nd = len(shape)
+    mags = np.zeros([s if a < nd - 1 else s // 2 + 1
+                     for a, s in enumerate(shape)])
+    for a, s in enumerate(shape):
+        f = np.fft.fftfreq(s) if a < nd - 1 else np.fft.rfftfreq(s)
+        sh = [1] * nd
+        sh[a] = len(f)
+        mags = mags + (f ** 2).reshape(sh)
+    return (np.sqrt(mags) <= cutoff).astype(np.float32)
+
+
+def distributed_filter_step(mesh, shape: Sequence[int],
+                            axis_name: str = "x", lr: float = 1e-2):
+    """Build a jitted distributed training step for a learnable spectral
+    filter: forward = sharded 3-D FFT -> pointwise H -> inverse FFT;
+    loss = reconstruction MSE; returns (step_fn, h0, in_sharding).
+
+    This is the flagship multi-chip model: data-parallel batch is the
+    leading dim, the FFT axis 1 is sharded over `axis_name` with
+    all_to_all global transposes, gradients psum over the mesh.
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import c2c as c2c_ops
+    from ..planner import the_planner
+
+    B = shape[0]
+    N = shape[1]
+    fwd1d = c2c_ops.build_c2c(the_planner.plan_c2c(N, np.float32, 0), -1,
+                              np.float32)
+    bwd1d = c2c_ops.build_c2c(the_planner.plan_c2c(N, np.float32, 0), +1,
+                              np.float32)
+
+    def fftn_local(x, fn):
+        for ax in (2, 3):
+            x = jnp.moveaxis(fn(jnp.moveaxis(x, ax, -1)), -1, ax)
+        x = jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1,
+                               tiled=True)
+        x = jnp.moveaxis(fn(jnp.moveaxis(x, 1, -1)), -1, 1)
+        return jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2,
+                                  tiled=True)
+
+    def local_step(h, xr, xi):
+        x = xr + 1j * xi
+        y = fftn_local(x, fwd1d) * h
+        z = fftn_local(y, bwd1d) / (N ** 3)
+        loss = jnp.mean(jnp.abs(z - x) ** 2)
+        return jax.lax.pmean(loss, axis_name)
+
+    h_spec = P(None, axis_name, None, None)
+    x_spec = P(None, axis_name, None, None)
+    smapped = jax.shard_map(local_step, mesh=mesh,
+                            in_specs=(h_spec, x_spec, x_spec), out_specs=P())
+
+    @jax.jit
+    def step(h, xr, xi):
+        loss, g = jax.value_and_grad(lambda hh: smapped(hh, xr, xi))(h)
+        return h - lr * g, loss
+
+    h0 = jax.device_put(np.ones((1, N, N, N), np.float32),
+                        NamedSharding(mesh, h_spec))
+    return step, h0, NamedSharding(mesh, x_spec)
