@@ -134,11 +134,11 @@ def main():
                {"gflops": gf / 1e9, "sec": t, "plan": desc}}
 
     if suite:
-        for name, fn in [("c2c_3d_128", lambda: bench_c2c_3d(128)),
-                         ("c2c_1d_1000_b4096",
-                          lambda: bench_c2c_1d(1000, 4096)),
+        for name, fn in [("c2c_3d_256", lambda: bench_c2c_3d(256)),
+                         ("c2c_1d_1000_b32768",
+                          lambda: bench_c2c_1d(1000, 32768)),
                          ("r2c_2d_2048", lambda: bench_r2c_2d(2048)),
-                         ("dct2_512_b4096", lambda: bench_dct2(512, 4096))]:
+                         ("dct2_512_b65536", lambda: bench_dct2(512, 65536))]:
             g2, t2, d2 = fn()
             details[name] = {"gflops": g2 / 1e9, "sec": t2, "plan": d2}
             print(f"# {name}: {g2/1e9:.1f} GFLOPS ({t2*1e6:.0f} us) {d2}",

@@ -103,21 +103,69 @@ def build_c2c_split(desc: Dict, sign: int, rdtype) -> SplitApply:
     if alg == "mixed":
         p = desc["p"]
         q = n // p
-        F = matrices.dft_matrix(p, sign)
-        Fr = np.ascontiguousarray(F.real, dtype=rdtype)
-        Fi = np.ascontiguousarray(F.imag, dtype=rdtype)
         tw = matrices.twiddle_2d(p, q, sign)
         twr = np.ascontiguousarray(tw.real, dtype=rdtype)
         twi = np.ascontiguousarray(tw.imag, dtype=rdtype)
         child = build_c2c_split(desc["child"], sign, rdtype)
 
+        if p <= 8:
+            # small radix: an explicit butterfly over axis -2 with scalar
+            # complex coefficients — XLA fuses the p^2 scaled adds and the
+            # twiddle into one elementwise pass, with no transposes before
+            # the child (the dftw-direct small-radix role)
+            F = matrices.dft_matrix(p, sign)
+
+            def apply_mixed_bfly(xr, xi):
+                shp = xr.shape[:-1]
+                xr = xr.reshape(*shp, p, q)
+                xi = xi.reshape(*shp, p, q)
+                xs = [(xr[..., j, :], xi[..., j, :]) for j in range(p)]
+                outs = []
+                for k in range(p):
+                    ar = 0.0
+                    ai = 0.0
+                    for j in range(p):
+                        cr, ci = float(F[j, k].real), float(F[j, k].imag)
+                        br, bi = xs[j]
+                        if cr:
+                            ar = ar + (br if cr == 1.0 else
+                                       -br if cr == -1.0 else cr * br)
+                            ai = ai + (bi if cr == 1.0 else
+                                       -bi if cr == -1.0 else cr * bi)
+                        if ci:
+                            ar = ar - (bi if ci == 1.0 else
+                                       -bi if ci == -1.0 else ci * bi)
+                            ai = ai + (br if ci == 1.0 else
+                                       -br if ci == -1.0 else ci * br)
+                    # fused twiddle row w[k, :]
+                    wr, wi = twr[k], twi[k]
+                    outs.append((ar * wr - ai * wi, ar * wi + ai * wr))
+                yr = jnp.stack([o[0] for o in outs], axis=-2)
+                yi = jnp.stack([o[1] for o in outs], axis=-2)
+                zr, zi = child(yr, yi)                         # along q
+                zr = jnp.swapaxes(zr, -1, -2).reshape(*shp, n)
+                zi = jnp.swapaxes(zi, -1, -2).reshape(*shp, n)
+                return zr, zi
+            return apply_mixed_bfly
+
+        F = matrices.dft_matrix(p, sign)
+        Fr = np.ascontiguousarray(F.real, dtype=rdtype)
+        Fi = np.ascontiguousarray(F.imag, dtype=rdtype)
+        prec = config.precision()
+
+        def dotp(a, M):
+            # contract the p axis in place; XLA folds the layout into the
+            # dot (no materialized transposes around the MXU)
+            return jnp.einsum("...pq,pk->...kq", a, M, precision=prec)
+
         def apply_mixed(xr, xi):
             shp = xr.shape[:-1]
-            xr = jnp.swapaxes(xr.reshape(*shp, p, q), -1, -2)   # (.., q, p)
-            xi = jnp.swapaxes(xi.reshape(*shp, p, q), -1, -2)
-            yr, yi = cmatmul(xr, xi, Fr, Fi)                    # DFT_p
-            yr = jnp.swapaxes(yr, -1, -2)                       # (.., p, q)
-            yi = jnp.swapaxes(yi, -1, -2)
+            xr = xr.reshape(*shp, p, q)
+            xi = xi.reshape(*shp, p, q)
+            t1 = dotp(xr, Fr)
+            t2 = dotp(xi, Fi)
+            t3 = dotp(xr + xi, Fr + Fi)
+            yr, yi = t1 - t2, t3 - t1 - t2
             zr, zi = child(*cmul(yr, yi, twr, twi))             # along q
             zr = jnp.swapaxes(zr, -1, -2).reshape(*shp, n)
             zi = jnp.swapaxes(zi, -1, -2).reshape(*shp, n)

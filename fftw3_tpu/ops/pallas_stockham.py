@@ -166,15 +166,9 @@ def _cmatmul2d(Fr, Fi, ar, ai):
     return t1 - t2, t3 - t1 - t2
 
 
-def _kernel(radices, n, tb, *refs):
-    """refs = (xr, xi, *stage_consts, yr, yi); blocks (TB, n)."""
-    xr_ref, xi_ref = refs[0], refs[1]
-    yr_ref, yi_ref = refs[-2], refs[-1]
-    crefs = refs[2:-2]
-
-    # batch -> lanes
-    ar = jnp.transpose(xr_ref[...])            # (n, TB)
-    ai = jnp.transpose(xi_ref[...])
+def _stages(radices, n, tb, crefs, ar, ai):
+    """Shared Stockham stage loop on (n, TB) values (transform index in
+    major/sublane dims, TB lanes)."""
     done = 1
     rest = n
     ci = 0
@@ -211,9 +205,28 @@ def _kernel(radices, n, tb, *refs):
             ai = jnp.transpose(yi, (1, 0, 2, 3)).reshape(q, p * done, tb)
         done *= p
         rest = q
-    # lanes -> batch
-    yr_ref[...] = jnp.transpose(ar.reshape(n, tb))
-    yi_ref[...] = jnp.transpose(ai.reshape(n, tb))
+    return ar.reshape(n, tb), ai.reshape(n, tb)
+
+
+def _kernel(radices, n, tb, *refs):
+    """Last-axis form: blocks (TB, n); transpose to batch-in-lanes and
+    back inside VMEM (measured: the 2-D transposes are free)."""
+    xr_ref, xi_ref = refs[0], refs[1]
+    yr_ref, yi_ref = refs[-2], refs[-1]
+    ar, ai = _stages(radices, n, tb, refs[2:-2],
+                     jnp.transpose(xr_ref[...]), jnp.transpose(xi_ref[...]))
+    yr_ref[...] = jnp.transpose(ar)
+    yi_ref[...] = jnp.transpose(ai)
+
+
+def _kernel_inner(radices, n, tl, *refs):
+    """Axis -2 form: blocks (1, n, TL); the trailing dims already are the
+    lanes, so there are no transposes at all."""
+    xr_ref, xi_ref = refs[0], refs[1]
+    yr_ref, yi_ref = refs[-2], refs[-1]
+    ar, ai = _stages(radices, n, tl, refs[2:-2], xr_ref[0], xi_ref[0])
+    yr_ref[0] = ar
+    yi_ref[0] = ai
 
 
 def _make_call(n: int, radices: Sequence[int], sign: int, tb: int,
@@ -251,6 +264,97 @@ def _make_call(n: int, radices: Sequence[int], sign: int, tb: int,
         return fn(xr, xi, *flat_consts)
 
     return run
+
+
+def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
+                     interpret: bool):
+    """pallas_call factory for the axis -2 form: data (pre, n, L), blocks
+    (1, n, TL) — no transposes anywhere (the lanes ARE the trailing dims)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    consts = _stage_consts(n, radices, sign)
+    flat_consts = [c for stage in consts for c in stage]
+    kernel = partial(_kernel_inner, tuple(radices), n, tl)
+
+    data_spec = pl.BlockSpec((1, n, tl), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM)
+                   for c in flat_consts]
+    flops_per_block = int(6 * n * sum(radices) * tl)
+
+    def run(xr, xi):
+        pre, _, L = xr.shape
+        grid = (pre, L // tl)
+        out_shape = [jax.ShapeDtypeStruct((pre, n, L), jnp.float32)] * 2
+        fn = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[data_spec, data_spec] + const_specs,
+            out_specs=[data_spec, data_spec],
+            out_shape=out_shape,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=flops_per_block * grid[0] * grid[1],
+                bytes_accessed=int(4 * pre * n * L * 4),
+                transcendentals=0),
+        )
+        return fn(xr, xi, *flat_consts)
+
+    return run
+
+
+#: lane-tile for the axis -2 kernel
+INNER_TILE_L = 128
+
+
+def build_pallas_c2c_split_inner(desc: Dict, sign: int, rdtype):
+    """Split-complex apply over axis -2 of (..., n, L) arrays, L a multiple
+    of 128.  Used by multi-axis plans for every non-last transform axis:
+    zero moveaxis passes, zero in-kernel transposes.  Returns None if the
+    layout is unsuitable (caller falls back to the moveaxis path)."""
+    n = desc["n"]
+    radices = desc.get("radices") or choose_radices(n)
+    mode = config.pallas_mode
+    if mode == "auto":
+        interpret = jax.default_backend() != "tpu"
+    elif mode == "interpret":
+        interpret = True
+    else:
+        interpret = False
+    tl = INNER_TILE_L
+    call = _make_call_inner(n, radices, sign, tl, interpret)
+    adj_call = [None]
+
+    def _run(xr, xi, c):
+        lead = xr.shape[:-2]
+        L = xr.shape[-1]
+        pre = int(np.prod(lead)) if lead else 1
+        yr, yi = c(xr.reshape(pre, n, L), xi.reshape(pre, n, L))
+        return yr.reshape(*lead, n, L), yi.reshape(*lead, n, L)
+
+    @jax.custom_vjp
+    def apply(xr, xi):
+        return _run(xr, xi, call)
+
+    def fwd(xr, xi):
+        return apply(xr, xi), None
+
+    def bwd(_, g):
+        if adj_call[0] is None:
+            adj_call[0] = _make_call_inner(n, radices, -sign, tl, interpret)
+        return _run(g[0], g[1], adj_call[0])
+
+    apply.defvjp(fwd, bwd)
+    return apply
+
+
+def inner_applicable(desc: Dict, trail: int) -> bool:
+    """Can the axis -2 kernel serve a transform whose trailing-dims product
+    is `trail`?"""
+    return (desc.get("alg") == "pallas" and trail >= INNER_TILE_L
+            and trail % INNER_TILE_L == 0)
 
 
 def build_pallas_c2c_split(desc: Dict, sign: int, rdtype):

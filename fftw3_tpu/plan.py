@@ -38,6 +38,34 @@ def _along_axis(fn: Callable, axis: int) -> Callable:
     return apply
 
 
+def _c2c_stage(desc: Dict, sign: int, rdtype, axis: int,
+               shape: Tuple[int, ...]) -> Callable:
+    """One c2c axis pass.  Non-last axes whose trailing-dims product is a
+    lane multiple use the transpose-free axis -2 Pallas kernel (the
+    trailing dims ARE the lane dimension — no moveaxis HBM passes);
+    everything else lifts the last-axis transform with moveaxis."""
+    from .ops import pallas_stockham
+
+    trail = 1
+    for s in shape[axis + 1:]:
+        trail *= s
+    if axis != len(shape) - 1 and pallas_stockham.inner_applicable(desc,
+                                                                   trail):
+        inner = pallas_stockham.build_pallas_c2c_split_inner(desc, sign,
+                                                             rdtype)
+        n = shape[axis]
+
+        def apply_inner(xr, xi):
+            s = xr.shape
+            xr2 = xr.reshape(*s[:axis + 1], trail)
+            xi2 = xi.reshape(*s[:axis + 1], trail)
+            yr, yi = inner(xr2, xi2)
+            return yr.reshape(s), yi.reshape(s)
+        return apply_inner
+    fn = c2c_ops.build_c2c_split(desc, sign, rdtype)
+    return _along_axis_split(fn, axis)
+
+
 def _along_axis_split(fn: Callable, axis: int) -> Callable:
     """Lift a split-complex last-axis transform to an arbitrary axis."""
     def apply(xr, xi):
@@ -176,8 +204,8 @@ def make_plan(problem: Problem, flags: int = K.ESTIMATE,
         for a in axes:
             desc = pl.plan_c2c(shape[a], rdtype, patience)
             descriptors[a] = desc
-            fn = c2c_ops.build_c2c_split(desc, problem.sign, rdtype)
-            split_stages.append(_along_axis_split(fn, a))
+            split_stages.append(
+                _c2c_stage(desc, problem.sign, rdtype, a, shape))
 
         def apply_split(xr, xi):
             for s in split_stages:

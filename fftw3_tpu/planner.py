@@ -273,6 +273,9 @@ class Planner:
         if pallas_stockham.applicable(n, rdtype):
             out.append({"alg": "pallas", "n": n,
                         "radices": pallas_stockham.choose_radices(n)})
+        # measured: a pallas CHILD inside a mixed stage loses to the pure
+        # XLA einsum path (pallas_call is a fusion barrier), so mixed
+        # factors stay balance-ranked; pallas competes standalone only
         for p in _mixed_factor_candidates(n, patience):
             child = self.plan_c2c(n // p, rdtype, patience)
             out.append({"alg": "mixed", "n": n, "p": p, "child": child})

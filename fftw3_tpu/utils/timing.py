@@ -1,19 +1,24 @@
 """Device timing that survives the axon TPU tunnel.
 
 On this backend ``block_until_ready`` returns before the remote device has
-actually finished, and any sizable device->host fetch pays hundreds of ms of
-tunnel latency.  The honest protocol (libbench2/timer.c min-of-k analog,
-hardened):
+actually finished, any sizable device->host fetch pays hundreds of ms of
+tunnel latency, and a single synchronization round trip costs ~0.5-1 s with
+hundreds of microseconds of jitter.  The honest protocol
+(libbench2/timer.c min-of-k analog, hardened):
 
 * chain iterations through a data dependency so nothing can be elided,
 * synchronize once at the end by fetching a jit-sliced 1-element view
   (4 bytes over the tunnel),
-* run two chain lengths and difference them, cancelling the fixed
-  dispatch+sync latency,
-* take the min over repetitions.
+* run two chain lengths back-to-back and difference them, cancelling the
+  fixed dispatch+sync latency,
+* take the MEDIAN over repeated paired differences (the sync jitter is
+  symmetric, so the median is unbiased where a min/max is not), and
+* if the jitter swamps the signal (non-positive median), double the chain
+  length and retry so the signal grows until it dominates.
 """
 from __future__ import annotations
 
+import statistics
 import time
 from typing import Callable, Sequence
 
@@ -32,8 +37,17 @@ def sync(out) -> None:
     np.asarray(_slice1(leaf))
 
 
-def time_chained(fn: Callable, args: Sequence, k1: int = 4, k2: int = 36,
-                 reps: int = 3) -> float:
+def _median_diff(run, k1: int, k2: int, reps: int) -> float:
+    samples = []
+    for _ in range(reps):
+        t1 = run(k1)
+        t2 = run(k2)
+        samples.append((t2 - t1) / (k2 - k1))
+    return statistics.median(samples)
+
+
+def time_chained(fn: Callable, args: Sequence, k1: int = 8, k2: int = 40,
+                 reps: int = 5) -> float:
     """Seconds per call of ``fn`` whose output tuple feeds its inputs."""
     out = fn(*args)
     sync(out)
@@ -46,14 +60,16 @@ def time_chained(fn: Callable, args: Sequence, k1: int = 4, k2: int = 36,
         sync(cur)
         return time.perf_counter() - t0
 
-    best = float("inf")
-    for _ in range(reps):
-        best = min(best, (chain(k2) - chain(k1)) / (k2 - k1))
-    return best
+    for attempt in range(3):
+        est = _median_diff(chain, k1, k2, reps)
+        if est > 0:
+            return est
+        k1, k2 = k2, k2 * 2            # grow the signal past the jitter
+    return max(est, 1e-12)
 
 
-def time_dispatched(fn: Callable, args: Sequence, k1: int = 4, k2: int = 36,
-                    reps: int = 3) -> float:
+def time_dispatched(fn: Callable, args: Sequence, k1: int = 8, k2: int = 40,
+                    reps: int = 5) -> float:
     """Like :func:`time_chained` for fns whose output cannot feed the input:
     K independent dispatches (in-order device execution), one final sync."""
     out = fn(*args)
@@ -66,7 +82,9 @@ def time_dispatched(fn: Callable, args: Sequence, k1: int = 4, k2: int = 36,
         sync(out)
         return time.perf_counter() - t0
 
-    best = float("inf")
-    for _ in range(reps):
-        best = min(best, (run(k2) - run(k1)) / (k2 - k1))
-    return best
+    for attempt in range(3):
+        est = _median_diff(run, k1, k2, reps)
+        if est > 0:
+            return est
+        k1, k2 = k2, k2 * 2
+    return max(est, 1e-12)
