@@ -203,7 +203,8 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
                   sign: int = K.FORWARD, shard_axis: int = 0,
                   transposed_out: bool = False, flags: int = K.ESTIMATE,
                   dtype="complex64",
-                  transpose_method: str = "all_to_all") -> DistPlan:
+                  transpose_method: str = "all_to_all",
+                  overlap_chunks: int = 1) -> DistPlan:
     """Slab-decomposed distributed c2c DFT, rank >= 1.
 
     `shape` is the global array shape; the array is sharded along
@@ -211,6 +212,14 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
     transform axis this reduces to purely-local plans (bigvec analog).
     With ``transposed_out=True`` the result is sharded along the swap axis
     instead — no final global transpose (TRANSPOSED_OUT analog).
+
+    ``overlap_chunks=K > 1`` pipelines communication with compute: the
+    global-transpose + sharded-axis-FFT phase is split into K independent
+    chunks along a non-participating axis, so XLA's latency-hiding
+    scheduler can run chunk k+1's all_to_all on the ICI while chunk k's
+    local FFT occupies the compute units.  (The reference never overlapped
+    — ``mpi/transpose-pairwise.c:53`` leaves it as a TODO; SURVEY.md §7
+    hard-part 4 requires it for weak-scaling targets.)
     """
     shape = tuple(shape)
     ndim = len(shape)
@@ -265,18 +274,36 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
     fn_shard = c2c_ops.build_c2c(pl.plan_c2c(shape[shard_axis], rdtype,
                                              patience), sign, rdtype)
 
-    def local_fn(x):
-        # 1. FFT over all locally-complete transform axes
-        for a, fn in fns_local:
-            x = _apply_along(fn, x, a)
-        # 2. global transpose: gather shard_axis, scatter swap axis
+    # pick the chunking axis for communication/compute overlap: any axis
+    # not taking part in the global transpose, extent divisible by K
+    chunk_axis = None
+    if overlap_chunks > 1:
+        for cand in range(ndim - 1, -1, -1):
+            if cand not in (shard_axis, swap) and \
+                    shape[cand] % overlap_chunks == 0:
+                chunk_axis = cand
+                break
+        if chunk_axis is None:
+            overlap_chunks = 1
+
+    def _exchange_and_fft(x):
         x = transpose(x, axis_name, split_axis=swap, concat_axis=shard_axis)
-        # 3. FFT over the (now local) shard axis
         x = _apply_along(fn_shard, x, shard_axis)
         if not transposed_out:
             x = transpose(x, axis_name, split_axis=shard_axis,
                           concat_axis=swap)
         return x
+
+    def local_fn(x):
+        # 1. FFT over all locally-complete transform axes
+        for a, fn in fns_local:
+            x = _apply_along(fn, x, a)
+        # 2+3. transpose + sharded-axis FFT, chunked for ICI/compute overlap
+        if overlap_chunks == 1:
+            return _exchange_and_fft(x)
+        parts = jnp.split(x, overlap_chunks, axis=chunk_axis)
+        return jnp.concatenate([_exchange_and_fft(c) for c in parts],
+                               axis=chunk_axis)
 
     out_axis = swap if transposed_out else shard_axis
     out_spec = P(*[axis_name if i == out_axis else None

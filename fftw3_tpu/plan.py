@@ -43,27 +43,30 @@ def _c2c_stage(desc: Dict, sign: int, rdtype, axis: int,
     """One c2c axis pass.  Non-last axes whose trailing-dims product is a
     lane multiple use the transpose-free axis -2 Pallas kernel (the
     trailing dims ARE the lane dimension — no moveaxis HBM passes);
-    everything else lifts the last-axis transform with moveaxis."""
+    everything else lifts the last-axis transform with moveaxis.
+
+    Axes are applied right-relative so extra *leading* batch dims at call
+    time Just Work (plans embed in larger jitted programs)."""
     from .ops import pallas_stockham
 
+    neg = axis - len(shape)                  # right-relative axis (< 0)
     trail = 1
     for s in shape[axis + 1:]:
         trail *= s
-    if axis != len(shape) - 1 and pallas_stockham.inner_applicable(desc,
-                                                                   trail):
+    if neg != -1 and pallas_stockham.inner_applicable(desc, trail):
         inner = pallas_stockham.build_pallas_c2c_split_inner(desc, sign,
                                                              rdtype)
-        n = shape[axis]
 
         def apply_inner(xr, xi):
             s = xr.shape
-            xr2 = xr.reshape(*s[:axis + 1], trail)
-            xi2 = xi.reshape(*s[:axis + 1], trail)
+            cut = xr.ndim + neg + 1          # runtime position after axis
+            xr2 = xr.reshape(*s[:cut], trail)
+            xi2 = xi.reshape(*s[:cut], trail)
             yr, yi = inner(xr2, xi2)
             return yr.reshape(s), yi.reshape(s)
         return apply_inner
     fn = c2c_ops.build_c2c_split(desc, sign, rdtype)
-    return _along_axis_split(fn, axis)
+    return _along_axis_split(fn, neg)
 
 
 def _along_axis_split(fn: Callable, axis: int) -> Callable:
@@ -224,12 +227,14 @@ def make_plan(problem: Problem, flags: int = K.ESTIMATE,
         n_last = shape[last]
         desc = pl.plan_r2c(n_last, rdtype, patience)
         descriptors[last] = desc
-        stages.append(_along_axis(real_ops.build_r2c(desc, rdtype), last))
+        nd = len(shape)
+        stages.append(_along_axis(real_ops.build_r2c(desc, rdtype),
+                                  last - nd))
         for a in axes[:-1]:
             d = pl.plan_c2c(shape[a], rdtype, patience)
             descriptors[a] = d
             stages.append(_along_axis(
-                c2c_ops.build_c2c(d, K.FORWARD, rdtype), a))
+                c2c_ops.build_c2c(d, K.FORWARD, rdtype), a - nd))
         out = list(shape)
         out[last] = n_last // 2 + 1
         out_shape, out_dtype = tuple(out), ctype
@@ -238,24 +243,28 @@ def make_plan(problem: Problem, flags: int = K.ESTIMATE,
         # problem.shape is the *logical real* shape; input is halved complex.
         last = axes[-1]
         n_last = shape[last]
+        nd = len(shape)
         for a in axes[:-1]:
             d = pl.plan_c2c(shape[a], rdtype, patience)
             descriptors[a] = d
             stages.append(_along_axis(
-                c2c_ops.build_c2c(d, K.BACKWARD, rdtype), a))
+                c2c_ops.build_c2c(d, K.BACKWARD, rdtype), a - nd))
         desc = pl.plan_c2r(n_last, rdtype, patience)
         descriptors[last] = desc
-        stages.append(_along_axis(real_ops.build_c2r(desc, rdtype), last))
+        stages.append(_along_axis(real_ops.build_c2r(desc, rdtype),
+                                  last - nd))
         ins = list(shape)
         ins[last] = n_last // 2 + 1
         in_shape = tuple(ins)
         out_shape, out_dtype = shape, rdtype
 
     elif problem.kind == "r2r":
+        nd = len(shape)
         for a, kind in zip(axes, problem.r2r_kinds):
             desc = pl.plan_r2r(kind, shape[a], rdtype, patience)
             descriptors[a] = desc
-            stages.append(_along_axis(r2r_ops.build_r2r(desc, rdtype), a))
+            stages.append(_along_axis(r2r_ops.build_r2r(desc, rdtype),
+                                      a - nd))
         out_shape, out_dtype = shape, rdtype
 
     else:

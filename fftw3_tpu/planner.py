@@ -159,8 +159,14 @@ class Planner:
         key = self._key(kind, n, rdtype)
         hit = self.wisdom.get(key)
         if hit is not None and hit["patience"] >= patience:
-            self.stats["nwisdom_hit"] += 1
-            return hit["desc"]
+            # wisdom-bogosity recovery rung 1 (fftw_api.c:283-315): a
+            # structurally invalid entry (corrupt import, stale key) is
+            # dropped and planning falls through to a fresh search
+            if validate_desc(kind, n, hit.get("desc")):
+                self.stats["nwisdom_hit"] += 1
+                return hit["desc"]
+            del self.wisdom[key]
+            self.stats["nbogus"] = self.stats.get("nbogus", 0) + 1
         self.stats["nplan"] += 1
         if (kind == "c2c" and patience == K.PATIENCE_ESTIMATE
                 and config.use_native):
@@ -373,6 +379,58 @@ class Planner:
 # ---------------------------------------------------------------------------
 # descriptor -> apply dispatch shared by Plan and MEASURE
 # ---------------------------------------------------------------------------
+
+def validate_desc(kind: str, n: int, desc) -> bool:
+    """Structural sanity of a (possibly imported) wisdom descriptor —
+    the bogus-wisdom detector of the recovery ladder."""
+    if not isinstance(desc, dict):
+        return False
+    alg = desc.get("alg")
+    if desc.get("n") != n or not isinstance(alg, str):
+        return False
+    if kind == "c2c":
+        if alg in ("nop", "direct", "xla"):
+            return True
+        if alg == "mixed":
+            p = desc.get("p")
+            return (isinstance(p, int) and 1 < p < n and n % p == 0
+                    and validate_desc("c2c", n // p, desc.get("child")))
+        if alg == "pallas":
+            rad = desc.get("radices")
+            return (isinstance(rad, list) and
+                    math.prod(rad) == n and
+                    all(isinstance(r, int) and 1 < r for r in rad))
+        if alg == "bluestein":
+            m = desc.get("m")
+            return (isinstance(m, int) and m >= 2 * n - 1
+                    and validate_desc("c2c", m, desc.get("child")))
+        if alg == "rader":
+            return (primes.is_prime(n)
+                    and validate_desc("c2c", n - 1, desc.get("child")))
+        return False
+    if kind in ("r2c", "c2r"):
+        if alg in (f"{kind}_pack",):
+            return n % 2 == 0 and validate_desc("c2c", n // 2,
+                                                desc.get("child"))
+        if alg == f"{kind}_via_c2c":
+            return validate_desc("c2c", n, desc.get("child"))
+        return False
+    # r2r kinds: check the child link matches the reduction table
+    child_kind = {"dht_via_r2c": ("r2c", n), "r2hc_via_r2c": ("r2c", n),
+                  "hc2r_via_c2r": ("c2r", n), "redft10_half": ("r2c", n),
+                  "redft01_half": ("c2r", n),
+                  "redft00_ext": ("r2c", 2 * (n - 1)),
+                  "rodft00_ext": ("r2c", 2 * (n + 1)),
+                  "redft11_2n": ("c2c", 2 * n),
+                  "rodft10_flip": ("r2r", n), "rodft01_flip": ("r2r", n),
+                  "rodft11_flip": ("r2r", n)}.get(alg)
+    if alg == "r2r_matmul":
+        return isinstance(desc.get("kind"), str)
+    if child_kind is None:
+        return False
+    ck, cn = child_kind
+    return validate_desc(ck, cn, desc.get("child"))
+
 
 def build_apply(kind: str, desc: Dict, rdtype):
     if kind == "c2c":      # forward; backward built by caller with sign

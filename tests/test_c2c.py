@@ -117,3 +117,62 @@ def test_plan_printer():
     p = ftpu.plan_dft_1d(1024, dtype="complex64")
     s = ftpu.sprint_plan(p)
     assert "plan" in s and "1024" in s
+
+
+def test_apply_tolerates_leading_batch_dims(rng):
+    """plan.apply embeds in larger jits where leading batch dims appear."""
+    import jax
+
+    import fftw3_tpu as ftpu
+
+    p = ftpu.plan_dft_1d(32)
+    x = (rng.standard_normal((5, 32))
+         + 1j * rng.standard_normal((5, 32))).astype("complex64")
+    got = np.asarray(jax.jit(p.apply)(x))
+    want = np.fft.fft(x, axis=-1)
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-4
+    # multi-axis plan with an extra leading dim
+    p2 = ftpu.plan_dft((8, 16))
+    x2 = (rng.standard_normal((3, 8, 16))
+          + 1j * rng.standard_normal((3, 8, 16))).astype("complex64")
+    got2 = np.asarray(jax.jit(p2.apply)(x2))
+    want2 = np.fft.fftn(x2, axes=(1, 2))
+    assert np.max(np.abs(got2 - want2)) / np.max(np.abs(want2)) < 1e-4
+    # r2r too
+    p3 = ftpu.plan_r2r((16,), ["redft10"])
+    x3 = rng.standard_normal((4, 16)).astype("float32")
+    got3 = np.asarray(jax.jit(p3.apply)(x3))
+    from fftw3_tpu.ops.matrices import r2r_matrix
+    want3 = x3 @ r2r_matrix("redft10", 16)
+    assert np.max(np.abs(got3 - want3)) < 1e-3 * np.max(np.abs(want3))
+
+
+def test_bogus_wisdom_recovery():
+    """The wisdom-corruption recovery ladder (fftw_api.c:283-315 analog):
+    structurally invalid imported wisdom is dropped, planning proceeds."""
+    import json
+
+    import fftw3_tpu as ftpu
+    from fftw3_tpu.planner import Planner, validate_desc
+
+    pl = Planner()
+    good = pl.plan_c2c(64, np.float32, 0)
+    assert validate_desc("c2c", 64, good)
+    # corrupt entries of several shapes
+    assert not validate_desc("c2c", 64, {"alg": "direct", "n": 32})
+    assert not validate_desc("c2c", 64, {"alg": "mixed", "n": 64, "p": 7,
+                                         "child": good})
+    assert not validate_desc("c2c", 64, {"alg": "pallas", "n": 64,
+                                         "radices": [8, 4]})
+    assert not validate_desc("c2c", 64, "garbage")
+    assert not validate_desc("r2c", 64, {"alg": "r2c_pack", "n": 64,
+                                         "child": {"alg": "direct",
+                                                   "n": 16}})
+    # poisoned wisdom: planner must drop it and re-plan, not crash
+    key = pl._key("c2c", 128, np.dtype(np.float32))
+    pl.wisdom[key] = {"desc": {"alg": "mixed", "n": 128, "p": 5,
+                               "child": {"alg": "direct", "n": 3}},
+                      "patience": 3, "cost": 0.0}
+    desc = pl.plan_c2c(128, np.float32, 0)
+    assert validate_desc("c2c", 128, desc)
+    assert pl.stats.get("nbogus", 0) == 1

@@ -145,3 +145,28 @@ def test_wisdom_sync_single_process():
     # single-process: both are no-ops that must not fail
     broadcast_wisdom()
     gather_wisdom()
+
+
+@pytest.mark.parametrize("k", [1, 2, 4])
+def test_slab_overlap_chunks(rng, k):
+    """Communication/compute-overlap chunking preserves exactness."""
+    from fftw3_tpu.parallel import plan_dft_dist
+    mesh = make_mesh(4)
+    shape = (8, 8, 12)
+    x = (rng.standard_normal(shape)
+         + 1j * rng.standard_normal(shape)).astype("complex128")
+    plan = plan_dft_dist(shape, mesh, dtype="complex128", overlap_chunks=k)
+    y = plan(sharded(x, mesh, plan.in_spec))
+    assert relerr(y, np.fft.fftn(x)) < 1e-10
+
+
+def test_slab_overlap_transposed_out(rng):
+    from fftw3_tpu.parallel import plan_dft_dist
+    mesh = make_mesh(2)
+    shape = (8, 8, 12)
+    x = (rng.standard_normal(shape)
+         + 1j * rng.standard_normal(shape)).astype("complex128")
+    plan = plan_dft_dist(shape, mesh, dtype="complex128", overlap_chunks=3,
+                         transposed_out=True)
+    y = plan(sharded(x, mesh, plan.in_spec))
+    assert relerr(y, np.fft.fftn(x)) < 1e-10
