@@ -36,6 +36,25 @@ def build_r2c(desc: Dict, rdtype) -> Apply:
     n = desc["n"]
     ctype = c2c_ops.complex_dtype(rdtype)
 
+    if alg == "r2c_dense":
+        # dense cos/sin matrices on the MXU: ~2n real flops/point, measured
+        # MXU-bound and far below the reduction path's elementwise passes
+        # for n <= ~4k (the dft-generic idea, profitable on TPU)
+        m = n // 2 + 1
+        j = np.arange(n, dtype=np.int64)[:, None]
+        k = np.arange(m, dtype=np.int64)[None, :]
+        e = 2.0 * np.pi * np.mod(j * k, n) / n
+        Cr = np.ascontiguousarray(np.cos(e), dtype=rdtype)
+        Ci = np.ascontiguousarray(-np.sin(e), dtype=rdtype)
+
+        def apply_dense(x):
+            from .. import config
+            prec = config.precision()
+            yr = jnp.matmul(x, Cr, precision=prec)
+            yi = jnp.matmul(x, Ci, precision=prec)
+            return yr + 1j * yi
+        return apply_dense
+
     if alg == "r2c_via_c2c":
         child = c2c_ops.build_c2c(desc["child"], -1, rdtype)
 
@@ -69,6 +88,25 @@ def build_c2r(desc: Dict, rdtype) -> Apply:
     n = desc["n"]
     ctype = c2c_ops.complex_dtype(rdtype)
 
+    if alg == "c2r_dense":
+        m = n // 2 + 1
+        k = np.arange(m, dtype=np.int64)[:, None]
+        t = np.arange(n, dtype=np.int64)[None, :]
+        e = 2.0 * np.pi * np.mod(k * t, n) / n
+        w = np.full((m, 1), 2.0)
+        w[0] = 1.0
+        if n % 2 == 0:
+            w[-1] = 1.0
+        Br = np.ascontiguousarray(w * np.cos(e), dtype=rdtype)
+        Bi = np.ascontiguousarray(-w * np.sin(e), dtype=rdtype)
+
+        def apply_dense(X):
+            from .. import config
+            prec = config.precision()
+            return (jnp.matmul(jnp.real(X), Br, precision=prec)
+                    + jnp.matmul(jnp.imag(X), Bi, precision=prec))
+        return apply_dense
+
     if alg == "c2r_via_c2c":
         child = c2c_ops.build_c2c(desc["child"], +1, rdtype)
 
@@ -98,8 +136,11 @@ def build_c2r(desc: Dict, rdtype) -> Apply:
 
 
 def r2c_opcount(desc: Dict) -> Dict[str, float]:
-    child = c2c_ops.c2c_opcount(desc["child"])
     n = desc["n"]
+    if desc["alg"] in ("r2c_dense", "c2r_dense"):
+        mac = 2.0 * n * (n // 2 + 1)
+        return {"add": mac, "mul": 0.0, "fma": mac}
+    child = c2c_ops.c2c_opcount(desc["child"])
     extra = 6.0 * (n // 2 + 1)
     return {"add": child["add"] + extra, "mul": child["mul"] + extra,
             "fma": child["fma"]}

@@ -59,6 +59,10 @@ HW = HardwareModel()
 DIRECT_MAX = 128
 #: Cap for the O(n^2) last-resort dense solver (dft-generic analog).
 GENERIC_MAX = 2048
+#: Dense r2r kind-matrix solver cap: a real (n, n) matmul is MXU-bound at
+#: ~2n/33e12 s/point (measured 31 ps/pt at n=512 vs ~270 for the reduction
+#: path, which pays several elementwise HBM passes); crossover is ~n=4500.
+R2R_GENERIC_MAX = 4096
 
 
 def _c2c_cost(desc: Dict, hw: HardwareModel = HW) -> float:
@@ -212,6 +216,8 @@ class Planner:
             return self._candidates_c2c(n, rdtype, patience)
         if kind == "r2c":
             out = []
+            if n <= R2R_GENERIC_MAX:
+                out.append({"alg": "r2c_dense", "n": n})
             if n % 2 == 0 and n > 2:
                 out.append({"alg": "r2c_pack", "n": n,
                             "child": self.plan_c2c(n // 2, rdtype, patience)})
@@ -220,6 +226,8 @@ class Planner:
             return out
         if kind == "c2r":
             out = []
+            if n <= R2R_GENERIC_MAX:
+                out.append({"alg": "c2r_dense", "n": n})
             if n % 2 == 0 and n > 2:
                 out.append({"alg": "c2r_pack", "n": n,
                             "child": self.plan_c2c(n // 2, rdtype, patience)})
@@ -264,7 +272,7 @@ class Planner:
             out.append({"alg": "rodft11_flip", "n": n,
                         "child": self.plan_r2r(K.Kind.REDFT11, n, rdtype,
                                                patience)})
-        if n <= GENERIC_MAX:
+        if n <= R2R_GENERIC_MAX:
             out.append({"alg": "r2r_matmul", "kind": kind, "n": n})
         return out
 
@@ -306,6 +314,11 @@ class Planner:
         if kind == "c2c":
             return _c2c_cost(desc, self.hw)
         if kind in ("r2c", "c2r"):
+            if desc["alg"] in ("r2c_dense", "c2r_dense"):
+                n = desc["n"]
+                return (12.0 * n / self.hw.hbm_bw
+                        + 2.0 * n * (n // 2 + 1)
+                        / (self.hw.peak_flops * self.hw.matmul_eff(n)))
             if desc["alg"] in ("r2c_pack", "c2r_pack"):
                 return 0.55 * _c2c_cost(desc["child"], self.hw) \
                     + 8.0 * desc["n"] / self.hw.hbm_bw
@@ -409,6 +422,8 @@ def validate_desc(kind: str, n: int, desc) -> bool:
                     and validate_desc("c2c", n - 1, desc.get("child")))
         return False
     if kind in ("r2c", "c2r"):
+        if alg == f"{kind}_dense":
+            return True
         if alg in (f"{kind}_pack",):
             return n % 2 == 0 and validate_desc("c2c", n // 2,
                                                 desc.get("child"))
