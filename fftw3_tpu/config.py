@@ -18,6 +18,11 @@ matmul_precision: str = "highest"
 #: | 'on' (always compiled) | 'interpret' | 'off' (planner skips it)
 pallas_mode: str = "auto"
 
+#: MXU arithmetic inside the fused Pallas kernels: 'bf16x3' (default —
+#: operands split hi+lo, 3 one-pass bf16 matmuls per product, rel err
+#: ~1e-5, 12% faster) | 'highest' (6-pass, rel err ~1e-7)
+pallas_matmul: str = "bf16x3"
+
 #: Route plan-time host work (ESTIMATE search, hashing, wisdom) through the
 #: native C++ tier when the shared library is available (fftw3_tpu/native.py)
 use_native: bool = True

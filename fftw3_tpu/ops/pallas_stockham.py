@@ -66,9 +66,10 @@ MAX_N = 2048
 
 
 def tile_for(n: int) -> int:
-    """Batch-lane tile: measured sweet spots under the 16 MB VMEM ceiling
-    (~15 live planes): 256 lanes up to n=1024, 128 up to n=2048."""
-    return 256 if n <= 1024 else 128
+    """Batch-lane tile.  128 lanes measured fastest across sizes under
+    bf16x3 (256 raises VMEM pressure from the hi/lo split temporaries:
+    59 vs 72 ps/pt at n=1024); also the hard minimum lane width."""
+    return 128
 
 
 def choose_radices(n: int) -> List[int]:
@@ -153,16 +154,37 @@ def _stage_consts(n: int, radices: Sequence[int], sign: int):
 
 
 def _cmatmul2d(Fr, Fi, ar, ai):
-    """(F^T x) in split complex: 3 Karatsuba 2-D matmuls on the MXU.
+    """(F^T x) in split complex: 3 Karatsuba products on the MXU.
 
     Fr/Fi: (p, p) with F[j1, k1]; a: (p, M).  Returns (p, M) rows k1.
     DFT matrices are symmetric, so F^T @ a == F @ a.
+
+    Each real product runs either as a 6-pass HIGHEST matmul (~1e-7) or —
+    the default — as a hand-rolled bf16x3: split both operands into
+    hi + lo bf16 parts and take the three first-order terms (hi*hi,
+    hi*lo, lo*hi; the dropped lo*lo term is ~2^-16 relative).  Measured
+    ~12% faster end-to-end at rel err ~1e-5, far inside the 1e-3 single
+    tolerance.  Mosaic lacks Precision.HIGH, hence by hand.
     """
-    prec = config.precision()
-    t1 = jnp.dot(Fr, ar, preferred_element_type=jnp.float32, precision=prec)
-    t2 = jnp.dot(Fi, ai, preferred_element_type=jnp.float32, precision=prec)
-    t3 = jnp.dot(Fr + Fi, ar + ai, preferred_element_type=jnp.float32,
-                 precision=prec)
+    if config.pallas_matmul == "bf16x3":
+        def mm(F, x):
+            Fh = F.astype(jnp.bfloat16)
+            Fl = (F - Fh.astype(jnp.float32)).astype(jnp.bfloat16)
+            xh = x.astype(jnp.bfloat16)
+            xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def d(a, b):
+                return jnp.dot(a, b, preferred_element_type=jnp.float32)
+            return d(Fh, xh) + (d(Fh, xl) + d(Fl, xh))
+    else:
+        prec = config.precision()
+
+        def mm(F, x):
+            return jnp.dot(F, x, preferred_element_type=jnp.float32,
+                           precision=prec)
+    t1 = mm(Fr, ar)
+    t2 = mm(Fi, ai)
+    t3 = mm(Fr + Fi, ar + ai)
     return t1 - t2, t3 - t1 - t2
 
 
