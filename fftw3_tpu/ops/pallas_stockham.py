@@ -56,7 +56,18 @@ from ..utils import primes
 from . import matrices
 
 #: largest stage radix (one (r, r) DFT-matrix contraction on the MXU)
-MAX_RADIX = 64
+MAX_RADIX = 256
+#: single-stage (whole-transform matmul) ceiling: measured cheaper than any
+#: two-stage split up to here ([256] beats [16,16]: 59 vs 63 ps/pt)
+MAX_SINGLE = 256
+
+
+def _stage_cost(p: int) -> float:
+    """Measured per-point stage cost curve on v5e (ps): narrow contractions
+    pay ~230/p (MXU K-underutilization + pass overhead), wide ones ~p/9
+    (linear flops).  Fit of the measured sweep: s(4)=57, s(8)=29, s(16)=16,
+    s(64)=10, s(128)=16, s(256)=29."""
+    return 230.0 / p + p / 9.0
 #: fused-kernel applicability window.  Below MIN_N a single direct matmul
 #: (XLA) already runs in one pass; above MAX_N the ~15 live (n, TILE_B)
 #: f32 planes exceed the 16 MB scoped-VMEM limit — the planner then
@@ -73,24 +84,30 @@ def tile_for(n: int) -> int:
 
 
 def choose_radices(n: int) -> List[int]:
-    """Factor n into a (currently two-stage) radix schedule, largest-first.
+    """Factor n into a one- or two-stage radix schedule by the measured
+    stage-cost curve (mirrors fftw_choose_radix's role,
+    fftw/fftw_api.c:15750-15915, under TPU cost rules; policy duplicated in
+    the C++ tier — keep in sync).
 
-    Largest-first won the measured sweep ([64,16] beats [32,32] at n=1024):
-    more contraction width per (HBM-free) stage, and the first radix becomes
-    the `done` sublane extent, which wants to be >= 8 for layout efficiency.
-    Mirrors fftw_choose_radix's role (fftw/fftw_api.c:15750-15915) under TPU
-    rules.  Schedules are limited to <= 2 stages: this Mosaic toolchain
-    miscompiles the deeper pipelines (3-stage rejected at relayout), and two
-    radices <= 64 already cover every n <= 4096 with 64-smooth factors.
+    Schedules are limited to <= 2 stages: this Mosaic toolchain miscompiles
+    deeper pipelines, and two radices <= 256 cover every n <= 65536 with
+    256-smooth structure (the fused-kernel VMEM window ends far earlier).
+    Two-stage picks minimize s(p)+s(q) with both radices >= 8 when
+    possible (radices 2/4 measured catastrophic: +40-90 ps/pt).
     """
-    if n <= MAX_RADIX:
+    if n <= MAX_SINGLE:
         return [n]
     best = None
+    best_cost = None
     for p in sorted(primes.divisors(n), reverse=True):
         q = n // p
-        if p <= MAX_RADIX and 2 <= q <= MAX_RADIX:
-            best = [p, q]
-            break
+        if not (q >= 2 and p >= q and p <= MAX_RADIX):
+            continue
+        cost = _stage_cost(p) + _stage_cost(q)
+        if q < 8:
+            cost += 1000.0                  # last resort only
+        if best is None or cost < best_cost:
+            best, best_cost = [p, q], cost
     if best is None:
         raise ValueError(f"{n} has no two-factor schedule with radices "
                          f"<= {MAX_RADIX}")
@@ -329,6 +346,124 @@ def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
 
 #: lane-tile for the axis -2 kernel
 INNER_TILE_L = 128
+
+#: VMEM-resident point budget for the fused 2-D kernel (both axes of a
+#: (n1, n2) tile transformed in one HBM pass; ~10 live f32 plane-pairs)
+MAX_2D_POINTS = 300_000
+
+
+def _kernel_2d(rad1, rad2, n1, n2, *refs):
+    """Fused 2-D form: block (1, n1, n2); FFT over BOTH trailing axes in
+    one pass.  x -> T -> stages(n2) over sublanes [n1 lanes] -> T ->
+    stages(n1) [n2 lanes] -> out; the 2-D transposes live in VMEM (free).
+    Constant refs: stage consts for n2, then for n1."""
+    xr_ref, xi_ref = refs[0], refs[1]
+    yr_ref, yi_ref = refs[-2], refs[-1]
+    ncr2 = _n_consts(rad2)
+    crefs2 = refs[2:2 + ncr2]
+    crefs1 = refs[2 + ncr2:-2]
+    ar = jnp.transpose(xr_ref[0])          # (n2, n1)
+    ai = jnp.transpose(xi_ref[0])
+    ar, ai = _stages(rad2, n2, n1, crefs2, ar, ai)   # FFT along n2
+    ar = jnp.transpose(ar)                 # (n1, K2)
+    ai = jnp.transpose(ai)
+    ar, ai = _stages(rad1, n1, n2, crefs1, ar, ai)   # FFT along n1
+    yr_ref[0] = ar
+    yi_ref[0] = ai
+
+
+def _n_consts(radices) -> int:
+    """Number of constant arrays a radix schedule consumes (F pair per
+    stage + twiddle pair for every stage but the last)."""
+    return 4 * len(radices) - 2
+
+
+def _make_call_2d(n1: int, n2: int, rad1, rad2, sign: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c2 = [c for st in _stage_consts(n2, rad2, sign) for c in st]
+    c1 = [c for st in _stage_consts(n1, rad1, sign) for c in st]
+    flat_consts = c2 + c1
+    kernel = partial(_kernel_2d, tuple(rad1), tuple(rad2), n1, n2)
+
+    data_spec = pl.BlockSpec((1, n1, n2), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+                   for c in flat_consts]
+    flops_per_block = int(6 * (n2 * sum(rad2) * n1 + n1 * sum(rad1) * n2))
+
+    def run(xr, xi):
+        pre = xr.shape[0]
+        out_shape = [jax.ShapeDtypeStruct((pre, n1, n2), jnp.float32)] * 2
+        fn = pl.pallas_call(
+            kernel,
+            grid=(pre,),
+            in_specs=[data_spec, data_spec] + const_specs,
+            out_specs=[data_spec, data_spec],
+            out_shape=out_shape,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=flops_per_block * pre,
+                bytes_accessed=int(4 * pre * n1 * n2 * 4),
+                transcendentals=0),
+        )
+        return fn(xr, xi, *flat_consts)
+
+    return run
+
+
+def applicable_2d(n1: int, n2: int, rdtype) -> bool:
+    """Can the fused 2-D kernel take the last two transform axes whole?"""
+    if not backend_allows(rdtype):
+        return False
+    if n1 % 128 or n2 % 128:               # both act as lane dims in turn
+        return False
+    if n1 * n2 > MAX_2D_POINTS:
+        return False
+    try:
+        choose_radices(n1), choose_radices(n2)
+    except ValueError:
+        return False
+    return n1 <= MAX_N and n2 <= MAX_N
+
+
+def build_pallas_c2c_split_2d(n1: int, n2: int, sign: int, rdtype):
+    """Split-complex apply transforming BOTH trailing axes of
+    (..., n1, n2) in one fused kernel pass."""
+    rad1 = choose_radices(n1)
+    rad2 = choose_radices(n2)
+    mode = config.pallas_mode
+    if mode == "auto":
+        interpret = jax.default_backend() != "tpu"
+    elif mode == "interpret":
+        interpret = True
+    else:
+        interpret = False
+    call = _make_call_2d(n1, n2, rad1, rad2, sign, interpret)
+    adj_call = [None]
+
+    def _run(xr, xi, c):
+        lead = xr.shape[:-2]
+        pre = int(np.prod(lead)) if lead else 1
+        yr, yi = c(xr.reshape(pre, n1, n2), xi.reshape(pre, n1, n2))
+        return yr.reshape(*lead, n1, n2), yi.reshape(*lead, n1, n2)
+
+    @jax.custom_vjp
+    def apply(xr, xi):
+        return _run(xr, xi, call)
+
+    def fwd(xr, xi):
+        return apply(xr, xi), None
+
+    def bwd(_, g):
+        if adj_call[0] is None:
+            adj_call[0] = _make_call_2d(n1, n2, rad1, rad2, -sign, interpret)
+        return _run(g[0], g[1], adj_call[0])
+
+    apply.defvjp(fwd, bwd)
+    return apply
 
 
 def build_pallas_c2c_split_inner(desc: Dict, sign: int, rdtype):

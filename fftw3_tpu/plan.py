@@ -203,12 +203,36 @@ def make_plan(problem: Problem, flags: int = K.ESTIMATE,
     if problem.kind == "c2c":
         # split-complex through the whole multi-axis pipeline: one
         # real/imag split at entry, one combine at exit (TPU-native form)
+        from .ops import pallas_stockham
+
         split_stages = []
-        for a in axes:
+        rest_axes = list(axes)
+        nd = len(shape)
+        # fuse the trailing axis pair into ONE kernel pass when both axes
+        # would be pallas-served anyway (2 HBM passes -> 1)
+        if (len(rest_axes) >= 2 and rest_axes[-2:] == [nd - 2, nd - 1]
+                and pallas_stockham.applicable_2d(shape[nd - 2],
+                                                  shape[nd - 1], rdtype)):
+            d1 = pl.plan_c2c(shape[nd - 2], rdtype, patience)
+            d2 = pl.plan_c2c(shape[nd - 1], rdtype, patience)
+            if d1.get("alg") == "pallas" and d2.get("alg") == "pallas":
+                descriptors[nd - 2] = d1
+                descriptors[nd - 1] = d2
+                fused = pallas_stockham.build_pallas_c2c_split_2d(
+                    shape[nd - 2], shape[nd - 1], problem.sign, rdtype)
+                rest_axes = rest_axes[:-2]
+                trailing2d = fused
+            else:
+                trailing2d = None
+        else:
+            trailing2d = None
+        for a in rest_axes:
             desc = pl.plan_c2c(shape[a], rdtype, patience)
             descriptors[a] = desc
             split_stages.append(
                 _c2c_stage(desc, problem.sign, rdtype, a, shape))
+        if trailing2d is not None:
+            split_stages.append(trailing2d)
 
         def apply_split(xr, xi):
             for s in split_stages:

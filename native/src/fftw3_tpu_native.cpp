@@ -357,7 +357,8 @@ struct Params {
   int allow_pallas = 0;      // backend-dependent; Python decides
   int pallas_min_n = 128;
   int pallas_max_n = 2048;
-  int pallas_max_radix = 64;
+  int pallas_max_radix = 256;
+  int pallas_max_single = 256;
   int patience = 0;          // ESTIMATE ladder position (candidate width)
 };
 
@@ -449,21 +450,36 @@ std::vector<long> mixed_factors(long n, int direct_max, int patience) {
   return divs;
 }
 
-// mirror of pallas_stockham.choose_radices (two-stage, largest-first)
-bool pallas_radices(long n, int max_radix, std::vector<int>& out) {
-  if (n <= max_radix) {
+// mirror of pallas_stockham.choose_radices: single stage up to
+// pallas_max_single, else the two-factor split minimizing the measured
+// stage-cost curve s(p) = 230/p + p/9, radices < 8 heavily penalized.
+double pallas_stage_cost(long p) { return 230.0 / p + p / 9.0; }
+
+bool pallas_radices(long n, int max_radix, int max_single,
+                    std::vector<int>& out) {
+  if (n <= max_single) {
     out = {(int)n};
     return true;
   }
   auto divs = divisors_of(n);
+  bool have = false;
+  double best_cost = 0;
+  long bp = 0, bq = 0;
   for (auto it = divs.rbegin(); it != divs.rend(); ++it) {
     long p = *it, q = n / p;
-    if (p <= max_radix && q >= 2 && q <= max_radix) {
-      out = {(int)p, (int)q};
-      return true;
+    if (!(q >= 2 && p >= q && p <= max_radix)) continue;
+    double cost = pallas_stage_cost(p) + pallas_stage_cost(q);
+    if (q < 8) cost += 1000.0;
+    if (!have || cost < best_cost) {
+      have = true;
+      best_cost = cost;
+      bp = p;
+      bq = q;
     }
   }
-  return false;
+  if (!have) return false;
+  out = {(int)bp, (int)bq};
+  return true;
 }
 
 int plan_c2c(Ctx& c, long n);
@@ -495,7 +511,7 @@ int plan_c2c(Ctx& c, long n) {
   }
   if (P.allow_pallas && n >= P.pallas_min_n && n <= P.pallas_max_n) {
     std::vector<int> rad;
-    if (pallas_radices(n, P.pallas_max_radix, rad)) {
+    if (pallas_radices(n, P.pallas_max_radix, P.pallas_max_single, rad)) {
       Node nd;
       nd.alg = "pallas";
       nd.n = n;

@@ -70,15 +70,19 @@ class TestChooseRadices:
     def test_small_leaf(self):
         assert PS.choose_radices(48) == [48]
 
-    def test_two_stage_largest_first(self):
-        assert PS.choose_radices(1024) == [64, 16]
-        assert PS.choose_radices(2048) == [64, 32]
-        r = PS.choose_radices(1000)
-        assert len(r) == 2 and r[0] * r[1] == 1000 and r[0] >= r[1]
+    def test_single_stage_window(self):
+        assert PS.choose_radices(128) == [128]
+        assert PS.choose_radices(256) == [256]
+
+    def test_two_stage_cost_ranked(self):
+        for n in (512, 1024, 2048, 1000, 1500):
+            r = PS.choose_radices(n)
+            assert len(r) == 2 and r[0] * r[1] == n and r[0] >= r[1]
+            assert r[1] >= 8, (n, r)       # tiny radices are last-resort
 
     def test_unfactorable(self):
         with pytest.raises(ValueError):
-            PS.choose_radices(2 * 67 * 67)   # > 64*64 structure
+            PS.choose_radices(67 * 521)    # no factor pair <= 256
 
 
 class TestApplicable:
