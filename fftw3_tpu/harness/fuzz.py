@@ -103,3 +103,66 @@ def main(argv=None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def run_fuzz_dist(count: int, seed: int, verbose: bool = False) -> int:
+    """Distributed-tier fuzzer (check.pl --mpi analog): random problems on
+    a virtual device mesh, all transpose algorithms, transposed layouts,
+    compared against the numpy oracle."""
+    import jax
+    import numpy as _np
+    from jax.sharding import NamedSharding
+
+    from .. import parallel
+
+    rng = _np.random.default_rng(seed)
+    ndev = len(jax.devices())
+    failures = 0
+    for i in range(count):
+        p = int(rng.choice([d for d in (1, 2, 4, 8) if d <= ndev]))
+        mesh = jax.make_mesh((p,), ("x",))
+        method = str(rng.choice(["all_to_all", "ppermute", "recurse"]))
+        kind = str(rng.choice(["c2c", "c2c", "r2c", "r2r"]))
+        # r2c needs a non-halved swap axis divisible by P: force rank 3
+        rank = 3 if kind == "r2c" else int(rng.integers(2, 4))
+        shape = tuple(int(p * rng.integers(1, 4)) * 2 for _ in range(rank))
+        tout = bool(rng.integers(0, 2))
+        tag = f"{kind}{shape}P{p}[{method}]{'T' if tout else ''}"
+        try:
+            x = rng.standard_normal(shape)
+            if kind == "c2c":
+                x = x + 1j * rng.standard_normal(shape)
+                plan = parallel.plan_dft_dist(
+                    shape, mesh, dtype="complex128",
+                    transpose_method=method, transposed_out=tout)
+                want = _np.fft.fftn(x)
+            elif kind == "r2c":
+                plan = parallel.plan_dft_r2c_dist(
+                    shape, mesh, dtype="float64", transpose_method=method,
+                    transposed_out=tout)
+                want = _np.fft.rfftn(x)
+            else:
+                kinds_ = [str(rng.choice(["redft10", "rodft10", "dht"]))
+                          for _ in range(rank)]
+                plan = parallel.plan_r2r_dist(
+                    shape, kinds_, mesh, dtype="float64",
+                    transpose_method=method, transposed_out=tout)
+                from ..ops import matrices
+                want = _np.asarray(x, _np.float64)
+                for a, kk in enumerate(kinds_):
+                    M = matrices.r2r_matrix(kk, shape[a])
+                    want = _np.moveaxis(
+                        _np.moveaxis(want, a, -1) @ M, -1, a)
+            xg = jax.device_put(x, NamedSharding(mesh, plan.in_spec))
+            got = _np.asarray(plan(xg))
+            err = _np.max(_np.abs(got - want)) / max(
+                float(_np.max(_np.abs(want))), 1e-300)
+            if err > 1e-10:
+                raise AssertionError(f"relerr {err:.2e}")
+            if verbose:
+                print(f"ok   {tag} err={err:.1e}")
+        except Exception as exc:                       # noqa: BLE001
+            failures += 1
+            print(f"FAIL {tag}: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+    return failures

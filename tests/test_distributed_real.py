@@ -170,3 +170,9 @@ def test_slab_overlap_transposed_out(rng):
                          transposed_out=True)
     y = plan(sharded(x, mesh, plan.in_spec))
     assert relerr(y, np.fft.fftn(x)) < 1e-10
+
+
+def test_fuzz_dist_bounded():
+    """check.pl --mpi analog: random distributed problems stay green."""
+    from fftw3_tpu.harness.fuzz import run_fuzz_dist
+    assert run_fuzz_dist(count=10, seed=3) == 0

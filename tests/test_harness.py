@@ -150,3 +150,29 @@ def test_threads_shims():
     threads.make_planner_thread_safe()
     threads.cleanup_threads()
     assert threads.planner_nthreads() == 1
+
+
+class TestAccuracy:
+    def test_accuracy_columns(self):
+        from fftw3_tpu.harness.accuracy import accuracy_test
+        res = accuracy_test("c128")
+        assert set(res.norms) == {"l1", "l2", "linf"}
+        assert all(v < 1e-4 for v in res.norms.values()), res
+        res64 = accuracy_test("c128", rdtype="float64")
+        assert all(v < 1e-12 for v in res64.norms.values()), res64
+
+    def test_accuracy_c2r_roundtrip(self):
+        from fftw3_tpu.harness.accuracy import accuracy_test
+        res = accuracy_test("rb64")
+        assert all(v < 1e-4 for v in res.norms.values()), res
+
+    def test_accuracy_r2r(self):
+        from fftw3_tpu.harness.accuracy import accuracy_test
+        res = accuracy_test("k64e10")
+        assert all(v < 1e-4 for v in res.norms.values()), res
+
+    def test_accuracy_cli(self, capsys):
+        from fftw3_tpu.harness.accuracy import main
+        assert main(["c64", "r32"]) == 0
+        out = capsys.readouterr().out
+        assert "linf" in out
