@@ -124,6 +124,22 @@ def backend_allows(rdtype) -> bool:
     return np.dtype(rdtype) == np.float32   # f64 -> XLA-path solvers
 
 
+def alternative_radices(n: int, k: int = 3) -> List[List[int]]:
+    """Up to k alternative schedules for MEASURE-mode timing, cost-ranked
+    (single-stage when allowed, then the best two-factor splits)."""
+    outs: List[List[int]] = []
+    if n <= MAX_RADIX:
+        outs.append([n])
+    pairs = []
+    for p in primes.divisors(n):
+        q = n // p
+        if q >= 8 and p >= q and p <= MAX_RADIX:
+            pairs.append((p, q))
+    pairs.sort(key=lambda pq: _stage_cost(pq[0]) + _stage_cost(pq[1]))
+    outs.extend([list(pq) for pq in pairs])
+    return outs[:k]
+
+
 def applicable(n: int, rdtype) -> bool:
     """Planner applicability predicate (the solver's `applicable` analog).
 

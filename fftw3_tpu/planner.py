@@ -287,6 +287,12 @@ class Planner:
         if pallas_stockham.applicable(n, rdtype):
             out.append({"alg": "pallas", "n": n,
                         "radices": pallas_stockham.choose_radices(n)})
+            if patience >= K.PATIENCE_MEASURE:
+                # let MEASURE time alternative radix schedules (the
+                # codelet-choice part of FFTW's search space)
+                for rad in pallas_stockham.alternative_radices(n):
+                    if rad != out[-1]["radices"]:
+                        out.append({"alg": "pallas", "n": n, "radices": rad})
         # measured: a pallas CHILD inside a mixed stage loses to the pure
         # XLA einsum path (pallas_call is a fusion barrier), so mixed
         # factors stay balance-ranked; pallas competes standalone only
@@ -356,9 +362,12 @@ class Planner:
                 break
             try:
                 from .utils import timing
-                fn = jax.jit(build_apply(kind, desc, rdtype))
-                x = _sample_input(kind, n, rdtype)
-                t = timing.time_dispatched(fn, (x,), k1=2, k2=12, reps=2)
+                # split-complex at the boundary: the TPU tunnel cannot
+                # transfer complex arrays host<->device
+                fn, args = _measure_fn(kind, desc, n, rdtype)
+                timer = timing.time_chained if kind == "c2c" \
+                    else timing.time_dispatched
+                t = timer(fn, args, k1=2, k2=10, reps=3)
                 self.stats["nmeasure"] += 1
             except Exception:
                 continue
@@ -457,39 +466,37 @@ def build_apply(kind: str, desc: Dict, rdtype):
     return r2r_ops.build_r2r(desc, rdtype)
 
 
-def _sample_input(kind: str, n: int, rdtype):
+def _measure_fn(kind: str, desc: Dict, n: int, rdtype):
+    """(jitted fn, args) for MEASURE timing, with real-only host arrays and
+    real-only outputs (the tunnel cannot carry complex either way)."""
+    import jax
     import jax.numpy as jnp
-    batch = max(1, (1 << 20) // max(n, 1))
+
+    # ~8M points: enough device time per dispatch to rise above the
+    # remote-tunnel dispatch-latency floor (~0.3 ms)
+    batch = max(1, (1 << 23) // max(n, 1))
     rng = np.random.default_rng(0)
+    rdt = np.dtype(rdtype)
     if kind == "c2c":
-        x = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
-        return jnp.asarray(x, dtype=c2c_ops.complex_dtype(rdtype))
+        fn = c2c_ops.build_c2c_split(desc, K.FORWARD, rdtype)
+        xr = jnp.asarray(rng.standard_normal((batch, n)), rdt)
+        xi = jnp.asarray(rng.standard_normal((batch, n)), rdt)
+        return jax.jit(fn), (xr, xi)
     if kind == "c2r":
-        x = rng.standard_normal((batch, n // 2 + 1)) \
-            + 1j * rng.standard_normal((batch, n // 2 + 1))
-        return jnp.asarray(x, dtype=c2c_ops.complex_dtype(rdtype))
-    return jnp.asarray(rng.standard_normal((batch, n)), dtype=rdtype)
-
-
-def _time_min(thunk, reps: int = 3, min_time: float = 2e-3) -> float:
-    """Min-of-reps timing with repeat-doubling calibration
-    (libbench2/timer.c:101-116 analog)."""
-    iters = 1
-    while True:
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            thunk()
-        dt = time.perf_counter() - t0
-        if dt >= min_time or iters >= 1 << 20:
-            break
-        iters *= 2
-    best = dt / iters
-    for _ in range(reps - 1):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            thunk()
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        m = n // 2 + 1
+        apply = real_ops.build_c2r(desc, rdtype)
+        fn = jax.jit(lambda a, b: apply(a + 1j * b))
+        xr = jnp.asarray(rng.standard_normal((batch, m)), rdt)
+        xi = jnp.asarray(rng.standard_normal((batch, m)), rdt)
+        return fn, (xr, xi)
+    apply = build_apply(kind, desc, rdtype)
+    if kind == "r2c":
+        fn = jax.jit(lambda a: (lambda y: (jnp.real(y), jnp.imag(y)))(
+            apply(a)))
+    else:
+        fn = jax.jit(apply)
+    x = jnp.asarray(rng.standard_normal((batch, n)), rdt)
+    return fn, (x,)
 
 
 def _device_signature() -> str:

@@ -29,10 +29,12 @@ _slice1 = None
 
 
 def sync(out) -> None:
-    """Force completion of everything `out` depends on (4-byte fetch)."""
+    """Force completion of everything `out` depends on (4-byte fetch).
+    Fetches the real part: complex arrays cannot cross the tunnel."""
     global _slice1
     if _slice1 is None:
-        _slice1 = jax.jit(lambda t: t.ravel()[:1])
+        import jax.numpy as jnp
+        _slice1 = jax.jit(lambda t: jnp.real(t).ravel()[:1])
     leaf = jax.tree.leaves(out)[0]
     np.asarray(_slice1(leaf))
 
