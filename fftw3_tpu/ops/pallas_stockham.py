@@ -199,6 +199,15 @@ def _cmatmul2d(Fr, Fi, ar, ai):
     ~12% faster end-to-end at rel err ~1e-5, far inside the 1e-3 single
     tolerance.  Mosaic lacks Precision.HIGH, hence by hand.
     """
+    mm = _mxu_mm()
+    t1 = mm(Fr, ar)
+    t2 = mm(Fi, ai)
+    t3 = mm(Fr + Fi, ar + ai)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _mxu_mm():
+    """The in-kernel real matmul, per config.pallas_matmul."""
     if config.pallas_matmul == "bf16x3":
         def mm(F, x):
             Fh = F.astype(jnp.bfloat16)
@@ -209,16 +218,13 @@ def _cmatmul2d(Fr, Fi, ar, ai):
             def d(a, b):
                 return jnp.dot(a, b, preferred_element_type=jnp.float32)
             return d(Fh, xh) + (d(Fh, xl) + d(Fl, xh))
-    else:
-        prec = config.precision()
+        return mm
+    prec = config.precision()
 
-        def mm(F, x):
-            return jnp.dot(F, x, preferred_element_type=jnp.float32,
-                           precision=prec)
-    t1 = mm(Fr, ar)
-    t2 = mm(Fi, ai)
-    t3 = mm(Fr + Fi, ar + ai)
-    return t1 - t2, t3 - t1 - t2
+    def mm(F, x):
+        return jnp.dot(F, x, preferred_element_type=jnp.float32,
+                       precision=prec)
+    return mm
 
 
 def _stages(radices, n, tb, crefs, ar, ai):
@@ -579,4 +585,120 @@ def build_pallas_c2c_split(desc: Dict, sign: int, rdtype):
         return _run(g[0], g[1], adj_call[0])
 
     apply.defvjp(fwd, bwd)
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# fused r2c kernel: pack -> half-size c2c stages -> untangle, one HBM pass
+# (the rdft2-ct-hc2c codelet role, fftw/fftw_api.c:5552-6190, fused whole)
+# ---------------------------------------------------------------------------
+
+def _kernel_r2c(radices, n, tb, *refs):
+    """Block (tb, n) real in -> (tb, n//2+1) re/im out.
+
+    The radix-2 DIT identity with real half-signals: A = DFT_m(even
+    samples), B = DFT_m(odd samples), then X[k] = A[k] + w^k B[k] for
+    k = 0..m with A[m] := A[0] — no Hermitian reversal needed anywhere
+    (Mosaic has no `rev` primitive).  Two half-size real-input transforms
+    cost ~4/3 of one complex one and the whole thing stays a single HBM
+    pass.
+    """
+    # refs = (x, w_re, w_im, *stage_consts, y_re, y_im)
+    x_ref = refs[0]
+    wr_ref, wi_ref = refs[1], refs[2]
+    crefs = refs[3:-2]
+    yr_ref, yi_ref = refs[-2], refs[-1]
+    m = n // 2
+
+    v = jnp.transpose(x_ref[...])              # (n, tb)
+    v = v.reshape(m, 2 * tb)                   # row j: [x[2j,:], x[2j+1,:]]
+    zero = jnp.zeros((m, tb), jnp.float32)
+    ar, ai = _stages(radices, m, tb, crefs, v[:, :tb], zero)   # A
+    br, bi = _stages(radices, m, tb, crefs, v[:, tb:], zero)   # B
+    afr = jnp.concatenate([ar, ar[0:1]], axis=0)          # (m+1, tb)
+    afi = jnp.concatenate([ai, ai[0:1]], axis=0)
+    bfr = jnp.concatenate([br, br[0:1]], axis=0)
+    bfi = jnp.concatenate([bi, bi[0:1]], axis=0)
+    wr = wr_ref[...]                           # w[k] = exp(-2pi i k/n)
+    wi = wi_ref[...]
+    xr = afr + wr * bfr - wi * bfi
+    xi = afi + wr * bfi + wi * bfr
+    yr_ref[...] = jnp.transpose(xr)
+    yi_ref[...] = jnp.transpose(xi)
+
+
+def _make_call_r2c(n: int, radices, tb: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = n // 2
+    consts = _stage_consts(m, radices, -1)
+    k = np.arange(m + 1, dtype=np.int64)
+    w = np.exp(-2j * np.pi * k / n)
+    flat_consts = [np.ascontiguousarray(w.real, np.float32).reshape(m + 1, 1),
+                   np.ascontiguousarray(w.imag, np.float32).reshape(m + 1, 1)]
+    flat_consts += [c for stage in consts for c in stage]
+    kernel = partial(_kernel_r2c, tuple(radices), n, tb)
+
+    in_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tb, m + 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+                   for c in flat_consts]
+
+    def run(x):
+        B = x.shape[0]
+        out_shape = [jax.ShapeDtypeStruct((B, m + 1), jnp.float32)] * 2
+        fn = pl.pallas_call(
+            kernel,
+            grid=(B // tb,),
+            in_specs=[in_spec] + const_specs,
+            out_specs=[out_spec, out_spec],
+            out_shape=out_shape,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=int(6 * m * sum(radices) * B),
+                bytes_accessed=int(4 * B * n * 2),
+                transcendentals=0),
+        )
+        return fn(x, *flat_consts)
+
+    return run
+
+
+def r2c_applicable(n: int, rdtype) -> bool:
+    """Fused r2c gate: even n with a half-size in the c2c kernel window."""
+    return n % 2 == 0 and applicable(n // 2, rdtype)
+
+
+def build_pallas_r2c(desc: Dict, rdtype):
+    """Complex-out apply for {"alg": "pallas_r2c", "n": n, "radices": [..]}:
+    real (..., n) -> complex (..., n//2+1), one kernel pass."""
+    n = desc["n"]
+    m = n // 2
+    radices = desc.get("radices") or choose_radices(m)
+    assert math.prod(radices) == m
+    tb = 128
+    mode = config.pallas_mode
+    if mode == "auto":
+        interpret = jax.default_backend() != "tpu"
+    elif mode == "interpret":
+        interpret = True
+    else:
+        interpret = False
+    call = _make_call_r2c(n, radices, tb, interpret)
+
+    def apply(x):
+        shp = x.shape[:-1]
+        B = int(np.prod(shp)) if shp else 1
+        x2 = x.reshape(B, n)
+        Bp = -(-B // tb) * tb
+        if Bp != B:
+            x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
+        yr, yi = call(x2)
+        out = yr[:B] + 1j * yi[:B]
+        return out.reshape(*shp, m + 1)
+
     return apply

@@ -36,6 +36,10 @@ def build_r2c(desc: Dict, rdtype) -> Apply:
     n = desc["n"]
     ctype = c2c_ops.complex_dtype(rdtype)
 
+    if alg == "pallas_r2c":
+        from . import pallas_stockham
+        return pallas_stockham.build_pallas_r2c(desc, rdtype)
+
     if alg == "r2c_dense":
         # dense cos/sin matrices on the MXU: ~2n real flops/point, measured
         # MXU-bound and far below the reduction path's elementwise passes
@@ -140,6 +144,19 @@ def r2c_opcount(desc: Dict) -> Dict[str, float]:
     if desc["alg"] in ("r2c_dense", "c2r_dense"):
         mac = 2.0 * n * (n // 2 + 1)
         return {"add": mac, "mul": 0.0, "fma": mac}
+    if desc["alg"] == "pallas_r2c":
+        m = n // 2
+        total = {"add": 4.0 * n, "mul": 4.0 * n, "fma": 0.0}
+        rest = m
+        for p in desc["radices"]:
+            q = rest // p
+            batch = m // rest
+            total["add"] += 3.0 * p * p * q * batch
+            total["fma"] += 3.0 * p * p * q * batch
+            if q > 1:
+                total["mul"] += 6.0 * rest * batch
+            rest = q
+        return total
     child = c2c_ops.c2c_opcount(desc["child"])
     extra = 6.0 * (n // 2 + 1)
     return {"add": child["add"] + extra, "mul": child["mul"] + extra,

@@ -216,6 +216,11 @@ class Planner:
             return self._candidates_c2c(n, rdtype, patience)
         if kind == "r2c":
             out = []
+            from .ops import pallas_stockham
+            if pallas_stockham.r2c_applicable(n, rdtype):
+                out.append({"alg": "pallas_r2c", "n": n,
+                            "radices":
+                            pallas_stockham.choose_radices(n // 2)})
             if n <= R2R_GENERIC_MAX:
                 out.append({"alg": "r2c_dense", "n": n})
             if n % 2 == 0 and n > 2:
@@ -320,14 +325,23 @@ class Planner:
         if kind == "c2c":
             return _c2c_cost(desc, self.hw)
         if kind in ("r2c", "c2r"):
+            if desc["alg"] == "pallas_r2c":
+                n = desc["n"]
+                m = n // 2
+                t = 1.1 * 8.0 * n / self.hw.hbm_bw   # one fused pass
+                for p in desc["radices"]:
+                    t += 6.0 * p * m / (self.hw.peak_flops
+                                        * self.hw.matmul_eff(p))
+                return t
             if desc["alg"] in ("r2c_dense", "c2r_dense"):
                 n = desc["n"]
                 return (12.0 * n / self.hw.hbm_bw
                         + 2.0 * n * (n // 2 + 1)
                         / (self.hw.peak_flops * self.hw.matmul_eff(n)))
             if desc["alg"] in ("r2c_pack", "c2r_pack"):
+                # half-size complex child + a separate untangle HBM pass
                 return 0.55 * _c2c_cost(desc["child"], self.hw) \
-                    + 8.0 * desc["n"] / self.hw.hbm_bw
+                    + 16.0 * desc["n"] / self.hw.hbm_bw
             return _c2c_cost(desc["child"], self.hw) \
                 + 16.0 * desc["n"] / self.hw.hbm_bw
         # r2r
@@ -431,6 +445,10 @@ def validate_desc(kind: str, n: int, desc) -> bool:
                     and validate_desc("c2c", n - 1, desc.get("child")))
         return False
     if kind in ("r2c", "c2r"):
+        if alg == "pallas_r2c":
+            rad = desc.get("radices")
+            return (kind == "r2c" and n % 2 == 0 and isinstance(rad, list)
+                    and math.prod(rad) == n // 2)
         if alg == f"{kind}_dense":
             return True
         if alg in (f"{kind}_pack",):

@@ -51,6 +51,8 @@ def _median_diff(run, k1: int, k2: int, reps: int) -> float:
 def time_chained(fn: Callable, args: Sequence, k1: int = 8, k2: int = 40,
                  reps: int = 5) -> float:
     """Seconds per call of ``fn`` whose output tuple feeds its inputs."""
+    args = tuple(jax.device_put(a) if isinstance(a, np.ndarray) else a
+                 for a in args)
     out = fn(*args)
     sync(out)
 
@@ -74,6 +76,10 @@ def time_dispatched(fn: Callable, args: Sequence, k1: int = 8, k2: int = 40,
                     reps: int = 5) -> float:
     """Like :func:`time_chained` for fns whose output cannot feed the input:
     K independent dispatches (in-order device execution), one final sync."""
+    # commit args to the device once: numpy args would otherwise pay a
+    # host->device transfer (huge through the tunnel) on EVERY call
+    args = tuple(jax.device_put(a) if isinstance(a, np.ndarray) else a
+                 for a in args)
     out = fn(*args)
     sync(out)
 

@@ -120,3 +120,29 @@ def test_opcount_pallas():
     from fftw3_tpu.ops.c2c import c2c_opcount
     ops = c2c_opcount({"alg": "pallas", "n": 1024, "radices": [64, 16]})
     assert ops["fma"] > 0 and ops["mul"] > 0
+
+
+@pytest.mark.parametrize("n", [256, 1000 * 2, 1024, 4096])
+def test_fused_r2c(n):
+    fn = PS.build_pallas_r2c(
+        {"alg": "pallas_r2c", "n": n, "radices": PS.choose_radices(n // 2)},
+        np.float32)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((5, n)).astype(np.float32)
+    got = np.asarray(jax.jit(fn)(x))
+    want = np.fft.rfft(x, axis=-1)
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-4
+
+
+def test_fused_r2c_planner_integration():
+    from fftw3_tpu import planner as planner_mod
+    pl = planner_mod.Planner()
+    desc = pl.plan_r2c(1024, np.float32, 0)
+    assert desc["alg"] == "pallas_r2c", desc
+    import fftw3_tpu as ftpu
+    p = ftpu.plan_dft_r2c((4, 1024), axes=(1,))
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((4, 1024)).astype(np.float32)
+    got = np.asarray(p.execute(x))
+    want = np.fft.rfft(x, axis=1)
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-4
