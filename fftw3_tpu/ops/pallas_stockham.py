@@ -702,3 +702,110 @@ def build_pallas_r2c(desc: Dict, rdtype):
         return out.reshape(*shp, m + 1)
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# fused c2r kernel: the exact inverse, also reversal-free and one HBM pass.
+# Identity (verified exactly): with X' = X[0:m], v^k = exp(+2pi i k/n),
+#   P = T_+(X'),  H = T_+(v^k X'),
+#   y[2j]   = 2 Re P[j] + Re X[m] - Re X[0]
+#   y[2j+1] = 2 Re H[j] - Re X[m] - Re X[0]
+# (imaginary parts of the DC/Nyquist bins drop out, matching pocketfft/FFTW)
+# ---------------------------------------------------------------------------
+
+def _kernel_c2r(radices, n, tb, *refs):
+    """Blocks: (tb, m+1) re/im in -> (tb, n) real out."""
+    xr_ref, xi_ref = refs[0], refs[1]
+    vr_ref, vi_ref = refs[2], refs[3]
+    crefs = refs[4:-1]
+    y_ref = refs[-1]
+    m = n // 2
+
+    xr = jnp.transpose(xr_ref[...])            # (m+1, tb)
+    xi = jnp.transpose(xi_ref[...])
+    xpr, xpi = xr[:m], xi[:m]                  # X' rows 0..m-1
+    pr, _pi = _stages(radices, m, tb, crefs, xpr, xpi)     # P = T_+(X')
+    vr = vr_ref[...]                           # (m, 1)
+    vi = vi_ref[...]
+    hr, _hi = _stages(radices, m, tb, crefs,
+                      xpr * vr - xpi * vi, xpr * vi + xpi * vr)
+    dc = xr[0:1]                               # Re X[0] row
+    ny = xr[m:m + 1]                           # Re X[m] row
+    ye = 2.0 * pr + ny - dc                    # (m, tb)
+    yo = 2.0 * hr - ny - dc
+    y = jnp.concatenate([ye, yo], axis=1)      # (m, 2*tb): [even | odd]
+    y_ref[...] = jnp.transpose(y.reshape(n, tb))
+
+
+def _make_call_c2r(n: int, radices, tb: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = n // 2
+    consts = _stage_consts(m, radices, +1)     # T_+ stages
+    k = np.arange(m, dtype=np.int64)
+    v = np.exp(2j * np.pi * k / n)
+    flat_consts = [np.ascontiguousarray(v.real, np.float32).reshape(m, 1),
+                   np.ascontiguousarray(v.imag, np.float32).reshape(m, 1)]
+    flat_consts += [c for stage in consts for c in stage]
+    kernel = partial(_kernel_c2r, tuple(radices), n, tb)
+
+    in_spec = pl.BlockSpec((tb, m + 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    const_specs = [pl.BlockSpec(c.shape, lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+                   for c in flat_consts]
+
+    def run(xr, xi):
+        B = xr.shape[0]
+        fn = pl.pallas_call(
+            kernel,
+            grid=(B // tb,),
+            in_specs=[in_spec, in_spec] + const_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((B, n), jnp.float32),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=int(12 * m * sum(radices) * B),
+                bytes_accessed=int(4 * B * n * 2),
+                transcendentals=0),
+        )
+        return fn(xr, xi, *flat_consts)
+
+    return run
+
+
+def build_pallas_c2r(desc: Dict, rdtype):
+    """Real-out apply for {"alg": "pallas_c2r", "n": n, "radices": [..]}:
+    complex (..., n//2+1) -> real (..., n), one kernel pass."""
+    n = desc["n"]
+    m = n // 2
+    radices = desc.get("radices") or choose_radices(m)
+    assert math.prod(radices) == m
+    tb = 128
+    mode = config.pallas_mode
+    if mode == "auto":
+        interpret = jax.default_backend() != "tpu"
+    elif mode == "interpret":
+        interpret = True
+    else:
+        interpret = False
+    call = _make_call_c2r(n, radices, tb, interpret)
+
+    def apply(X):
+        xr = jnp.real(X)
+        xi = jnp.imag(X)
+        shp = xr.shape[:-1]
+        B = int(np.prod(shp)) if shp else 1
+        xr2 = xr.reshape(B, m + 1)
+        xi2 = xi.reshape(B, m + 1)
+        Bp = -(-B // tb) * tb
+        if Bp != B:
+            xr2 = jnp.pad(xr2, ((0, Bp - B), (0, 0)))
+            xi2 = jnp.pad(xi2, ((0, Bp - B), (0, 0)))
+        y = call(xr2, xi2)
+        return y[:B].reshape(*shp, n)
+
+    return apply

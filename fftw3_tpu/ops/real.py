@@ -92,6 +92,10 @@ def build_c2r(desc: Dict, rdtype) -> Apply:
     n = desc["n"]
     ctype = c2c_ops.complex_dtype(rdtype)
 
+    if alg == "pallas_c2r":
+        from . import pallas_stockham
+        return pallas_stockham.build_pallas_c2r(desc, rdtype)
+
     if alg == "c2r_dense":
         m = n // 2 + 1
         k = np.arange(m, dtype=np.int64)[:, None]
@@ -144,7 +148,7 @@ def r2c_opcount(desc: Dict) -> Dict[str, float]:
     if desc["alg"] in ("r2c_dense", "c2r_dense"):
         mac = 2.0 * n * (n // 2 + 1)
         return {"add": mac, "mul": 0.0, "fma": mac}
-    if desc["alg"] == "pallas_r2c":
+    if desc["alg"] in ("pallas_r2c", "pallas_c2r"):
         m = n // 2
         total = {"add": 4.0 * n, "mul": 4.0 * n, "fma": 0.0}
         rest = m

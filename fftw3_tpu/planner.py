@@ -231,6 +231,11 @@ class Planner:
             return out
         if kind == "c2r":
             out = []
+            from .ops import pallas_stockham
+            if pallas_stockham.r2c_applicable(n, rdtype):
+                out.append({"alg": "pallas_c2r", "n": n,
+                            "radices":
+                            pallas_stockham.choose_radices(n // 2)})
             if n <= R2R_GENERIC_MAX:
                 out.append({"alg": "c2r_dense", "n": n})
             if n % 2 == 0 and n > 2:
@@ -325,7 +330,7 @@ class Planner:
         if kind == "c2c":
             return _c2c_cost(desc, self.hw)
         if kind in ("r2c", "c2r"):
-            if desc["alg"] == "pallas_r2c":
+            if desc["alg"] in ("pallas_r2c", "pallas_c2r"):
                 n = desc["n"]
                 m = n // 2
                 t = 1.1 * 8.0 * n / self.hw.hbm_bw   # one fused pass
@@ -445,9 +450,10 @@ def validate_desc(kind: str, n: int, desc) -> bool:
                     and validate_desc("c2c", n - 1, desc.get("child")))
         return False
     if kind in ("r2c", "c2r"):
-        if alg == "pallas_r2c":
+        if alg in ("pallas_r2c", "pallas_c2r"):
             rad = desc.get("radices")
-            return (kind == "r2c" and n % 2 == 0 and isinstance(rad, list)
+            return (alg == f"pallas_{kind}" and n % 2 == 0
+                    and isinstance(rad, list)
                     and math.prod(rad) == n // 2)
         if alg == f"{kind}_dense":
             return True

@@ -146,3 +146,31 @@ def test_fused_r2c_planner_integration():
     got = np.asarray(p.execute(x))
     want = np.fft.rfft(x, axis=1)
     assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-4
+
+
+@pytest.mark.parametrize("n", [256, 1024, 2048])
+def test_fused_c2r_roundtrip(n):
+    fn_f = PS.build_pallas_r2c(
+        {"alg": "pallas_r2c", "n": n, "radices": PS.choose_radices(n // 2)},
+        np.float32)
+    fn_b = PS.build_pallas_c2r(
+        {"alg": "pallas_c2r", "n": n, "radices": PS.choose_radices(n // 2)},
+        np.float32)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((5, n)).astype(np.float32)
+    y = np.asarray(jax.jit(lambda a: fn_b(fn_f(a)))(x))
+    assert np.max(np.abs(y - n * x)) / (n * np.max(np.abs(x))) < 1e-4
+
+
+def test_fused_c2r_planner_integration():
+    from fftw3_tpu import planner as planner_mod
+    pl = planner_mod.Planner()
+    desc = pl.plan_c2r(1024, np.float32, 0)
+    assert desc["alg"] == "pallas_c2r", desc
+    import fftw3_tpu as ftpu
+    p = ftpu.plan_dft_c2r((4, 1024), axes=(1,))
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((4, 1024)).astype(np.float32)
+    X = np.fft.rfft(x, axis=1).astype(np.complex64)
+    got = np.asarray(p.execute(X))
+    assert np.max(np.abs(got - 1024 * x)) / (1024 * np.max(np.abs(x))) < 1e-4
