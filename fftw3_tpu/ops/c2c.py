@@ -176,6 +176,11 @@ def build_c2c_split(desc: Dict, sign: int, rdtype) -> SplitApply:
         from . import pallas_stockham
         return pallas_stockham.build_pallas_c2c_split(desc, sign, rdtype)
 
+    if alg == "pallas4":
+        from . import pallas_stockham
+        return pallas_stockham.build_pallas_c2c_split_fourstep(desc, sign,
+                                                               rdtype)
+
     if alg == "bluestein":
         m = desc["m"]
         c = matrices.chirp(n, sign)                 # host f64
@@ -277,6 +282,13 @@ def c2c_opcount(desc: Dict) -> Dict[str, float]:
                 total["mul"] += 6.0 * rest * batch
             rest = q
         return total
+    if alg == "pallas4":
+        p, q = desc["p"], desc["q"]
+        return {
+            "add": 3.0 * (p * p * q + q * q * p),
+            "mul": 6.0 * n,                      # fused four-step twiddle
+            "fma": 3.0 * (p * p * q + q * q * p),
+        }
     if alg == "bluestein":
         child = c2c_opcount(desc["child"])
         return {

@@ -269,41 +269,85 @@ def _stages(radices, n, tb, crefs, ar, ai):
     return ar.reshape(n, tb), ai.reshape(n, tb)
 
 
-def _kernel(radices, n, tb, *refs):
+def _kernel(radices, n, tb, pretwiddle, *refs):
     """Last-axis form: blocks (TB, n); transpose to batch-in-lanes and
-    back inside VMEM (measured: the 2-D transposes are free)."""
+    back inside VMEM (measured: the 2-D transposes are free).
+
+    With ``pretwiddle`` the first two consts are a (TB, n) complex multiply
+    applied to the natural-layout input block — the four-step twiddle fused
+    into this kernel's load phase."""
     xr_ref, xi_ref = refs[0], refs[1]
     yr_ref, yi_ref = refs[-2], refs[-1]
-    ar, ai = _stages(radices, n, tb, refs[2:-2],
-                     jnp.transpose(xr_ref[...]), jnp.transpose(xi_ref[...]))
+    crefs = refs[2:-2]
+    xr = xr_ref[...]
+    xi = xi_ref[...]
+    if pretwiddle:
+        p = pretwiddle
+        twr = crefs[0][...].reshape(1, p, n)   # (p, n) const, broadcast
+        twi = crefs[1][...].reshape(1, p, n)   # over the tb//p row groups
+        crefs = crefs[2:]
+        xr3 = xr.reshape(tb // p, p, n)
+        xi3 = xi.reshape(tb // p, p, n)
+        xr3, xi3 = xr3 * twr - xi3 * twi, xr3 * twi + xi3 * twr
+        xr = xr3.reshape(tb, n)
+        xi = xi3.reshape(tb, n)
+    ar, ai = _stages(radices, n, tb, crefs,
+                     jnp.transpose(xr), jnp.transpose(xi))
     yr_ref[...] = jnp.transpose(ar)
     yi_ref[...] = jnp.transpose(ai)
 
 
-def _kernel_inner(radices, n, tl, *refs):
-    """Axis -2 form: blocks (1, n, TL); the trailing dims already are the
-    lanes, so there are no transposes at all."""
+def _kernel_inner(radices, n, g, tl, *refs):
+    """Axis -2 form: blocks (G, n, TL); the trailing dims already are the
+    lanes.  G leading rows share one grid step (small n would otherwise
+    drown in per-block overhead); they fold into the lane dimension via a
+    major-dim swap + 128-multiple lane merge (both Mosaic-supported)."""
     xr_ref, xi_ref = refs[0], refs[1]
     yr_ref, yi_ref = refs[-2], refs[-1]
-    ar, ai = _stages(radices, n, tl, refs[2:-2], xr_ref[0], xi_ref[0])
-    yr_ref[0] = ar
-    yi_ref[0] = ai
+    if g == 1:
+        ar, ai = _stages(radices, n, tl, refs[2:-2], xr_ref[0], xi_ref[0])
+        yr_ref[0] = ar
+        yi_ref[0] = ai
+        return
+    xr = jnp.transpose(xr_ref[...], (1, 0, 2)).reshape(n, g * tl)
+    xi = jnp.transpose(xi_ref[...], (1, 0, 2)).reshape(n, g * tl)
+    ar, ai = _stages(radices, n, g * tl, refs[2:-2], xr, xi)
+    yr_ref[...] = jnp.transpose(ar.reshape(n, g, tl), (1, 0, 2))
+    yi_ref[...] = jnp.transpose(ai.reshape(n, g, tl), (1, 0, 2))
 
 
 def _make_call(n: int, radices: Sequence[int], sign: int, tb: int,
-               interpret: bool):
+               interpret: bool, pretwiddle_p: int = 0):
+    """pretwiddle_p > 0: fuse the four-step twiddle w[k1, j2] =
+    exp(sign*2pi*i*k1*j2/(p*n)) into the load phase, where k1 = global row
+    index mod p.  Requires p | tb or tb | p (power-of-two p)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     consts = _stage_consts(n, radices, sign)
     flat_consts = [c for stage in consts for c in stage]
-    kernel = partial(_kernel, tuple(radices), n, tb)
-
-    data_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
     const_specs = [pl.BlockSpec(c.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
                    for c in flat_consts]
+    if pretwiddle_p:
+        p = pretwiddle_p
+        assert p <= tb and tb % p == 0, "pretwiddle needs p | TB"
+        N = p * n
+        e = np.mod(np.outer(np.arange(p, dtype=np.int64),
+                            np.arange(n, dtype=np.int64)), N)
+        w = np.exp(sign * 2j * np.pi * e / N)           # (p, n): compact —
+        # the kernel broadcasts it over the tb//p row groups (a tiled
+        # (tb, n) constant inflated the MLIR by MBs and broke compiles)
+        tw_specs = [pl.BlockSpec((p, n), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)] * 2
+        flat_consts = [np.ascontiguousarray(w.real, np.float32),
+                       np.ascontiguousarray(w.imag, np.float32)] \
+            + flat_consts
+        const_specs = tw_specs + const_specs
+    kernel = partial(_kernel, tuple(radices), n, tb, pretwiddle_p)
+
+    data_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
     flops_per_block = int(6 * n * sum(radices) * tb)
 
     def run(xr, xi):
@@ -327,29 +371,39 @@ def _make_call(n: int, radices: Sequence[int], sign: int, tb: int,
     return run
 
 
+def _inner_group(n: int, tl: int) -> int:
+    """Leading rows per grid step: target half the 1-D kernel's working
+    set (the 3-D<->2-D relayouts add live planes; g=1024 at n=2 blew the
+    16 MB scoped-VMEM limit).  Power of two, >= 1."""
+    g = max(1, (MAX_N * 64) // max(n * tl, 1))
+    return 1 << (g.bit_length() - 1)
+
+
 def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
                      interpret: bool):
     """pallas_call factory for the axis -2 form: data (pre, n, L), blocks
-    (1, n, TL) — no transposes anywhere (the lanes ARE the trailing dims)."""
+    (G, n, TL) — no HBM-level transposes (the lanes ARE the trailing
+    dims); G leading rows amortize per-block overhead for small n."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     consts = _stage_consts(n, radices, sign)
     flat_consts = [c for stage in consts for c in stage]
-    kernel = partial(_kernel_inner, tuple(radices), n, tl)
+    gmax = _inner_group(n, tl)
 
-    data_spec = pl.BlockSpec((1, n, tl), lambda i, j: (i, 0, j),
-                             memory_space=pltpu.VMEM)
-    const_specs = [pl.BlockSpec(c.shape, lambda i, j: (0, 0),
-                                memory_space=pltpu.VMEM)
-                   for c in flat_consts]
-    flops_per_block = int(6 * n * sum(radices) * tl)
-
-    def run(xr, xi):
-        pre, _, L = xr.shape
-        grid = (pre, L // tl)
+    def make_fn(pre, L):
+        g = gmax
+        while pre % g:
+            g //= 2
+        kernel = partial(_kernel_inner, tuple(radices), n, g, tl)
+        data_spec = pl.BlockSpec((g, n, tl), lambda i, j: (i, 0, j),
+                                 memory_space=pltpu.VMEM)
+        const_specs = [pl.BlockSpec(c.shape, lambda i, j: (0, 0),
+                                    memory_space=pltpu.VMEM)
+                       for c in flat_consts]
+        grid = (pre // g, L // tl)
         out_shape = [jax.ShapeDtypeStruct((pre, n, L), jnp.float32)] * 2
-        fn = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[data_spec, data_spec] + const_specs,
@@ -357,11 +411,15 @@ def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
             out_shape=out_shape,
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
-                flops=flops_per_block * grid[0] * grid[1],
+                flops=int(6 * n * sum(radices) * g * tl)
+                * grid[0] * grid[1],
                 bytes_accessed=int(4 * pre * n * L * 4),
                 transcendentals=0),
         )
-        return fn(xr, xi, *flat_consts)
+
+    def run(xr, xi):
+        pre, _, L = xr.shape
+        return make_fn(pre, L)(xr, xi, *flat_consts)
 
     return run
 
@@ -808,4 +866,102 @@ def build_pallas_c2r(desc: Dict, rdtype):
         y = call(xr2, xi2)
         return y[:B].reshape(*shp, n)
 
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# four-step composition for n beyond the single-kernel VMEM window:
+# pass 1 = axis-(-2) kernel (FFT over p), pass 2 = last-axis kernel with the
+# four-step twiddle fused into its load phase (FFT over q), one XLA
+# transpose for the output ordering.  3 HBM passes vs ~9 for the staged
+# XLA composition.  (The distributed six-step's on-chip sibling.)
+# ---------------------------------------------------------------------------
+
+def choose_fourstep(n: int):
+    """(p, q) with p a power of two in [8, 128] (the row-phase twiddle
+    mapping needs p | TB, and p < 8 stages are catastrophic — measured
+    338 ps/pt at (2,2048) vs 160 at (32,128) for n=4096), q a
+    128-multiple in the fused-kernel window.  Prefers the LARGEST p: the
+    measured sweep ranks (32,128) < (16,256) < (8,512) at n=4096.
+    Returns None if no such split exists."""
+    best = None
+    for p in (8, 16, 32, 64, 128):
+        if n % p:
+            continue
+        q = n // p
+        if q % INNER_TILE_L or q < MIN_N or q > MAX_N:
+            continue
+        try:
+            choose_radices(q), choose_radices(p)
+        except ValueError:
+            continue
+        if best is None or p > best[0]:
+            best = (p, q)
+    return best
+
+
+def fourstep_applicable(n: int, rdtype) -> bool:
+    if not backend_allows(rdtype):
+        return False
+    return n > MAX_N and choose_fourstep(n) is not None
+
+
+def build_pallas_c2c_split_fourstep(desc: Dict, sign: int, rdtype):
+    """Split apply for {"alg": "pallas4", "n": n, "p": p, "q": q}."""
+    n, p, q = desc["n"], desc["p"], desc["q"]
+    assert p * q == n
+    rad_p = choose_radices(p)
+    rad_q = desc.get("radices") or choose_radices(q)
+    mode = config.pallas_mode
+    if mode == "auto":
+        interpret = jax.default_backend() != "tpu"
+    elif mode == "interpret":
+        interpret = True
+    else:
+        interpret = False
+    tb = 128
+    inner = _make_call_inner(p, rad_p, sign, INNER_TILE_L, interpret)
+    outer = _make_call(q, rad_q, sign, tb, interpret, pretwiddle_p=p)
+    adj = [None]
+
+    def _run(xr, xi, calls):
+        c_in, c_out = calls
+        lead = xr.shape[:-1]
+        B = int(np.prod(lead)) if lead else 1
+        xr3 = xr.reshape(B, p, q)
+        xi3 = xi.reshape(B, p, q)
+        # batch padding so B*p is a TB multiple AND row index mod p is
+        # preserved (pad whole batch entries)
+        unit = max(1, tb // p)
+        Bp = -(-B // unit) * unit
+        if Bp != B:
+            xr3 = jnp.pad(xr3, ((0, Bp - B), (0, 0), (0, 0)))
+            xi3 = jnp.pad(xi3, ((0, Bp - B), (0, 0), (0, 0)))
+        ar, ai = c_in(xr3, xi3)                    # FFT over p (axis -2)
+        ar2 = ar.reshape(Bp * p, q)
+        ai2 = ai.reshape(Bp * p, q)
+        zr, zi = c_out(ar2, ai2)                   # twiddle + FFT over q
+        zr = zr.reshape(Bp, p, q)[:B]
+        zi = zi.reshape(Bp, p, q)[:B]
+        # X[k1 + p*k2] lives at [k1, k2] -> k2-major flatten
+        zr = jnp.swapaxes(zr, -1, -2).reshape(*lead, n)
+        zi = jnp.swapaxes(zi, -1, -2).reshape(*lead, n)
+        return zr, zi
+
+    @jax.custom_vjp
+    def apply(xr, xi):
+        return _run(xr, xi, (inner, outer))
+
+    def fwd(xr, xi):
+        return apply(xr, xi), None
+
+    def bwd(_, g):
+        if adj[0] is None:
+            adj[0] = (_make_call_inner(p, rad_p, -sign, INNER_TILE_L,
+                                       interpret),
+                      _make_call(q, rad_q, -sign, tb, interpret,
+                                 pretwiddle_p=p))
+        return _run(g[0], g[1], adj[0])
+
+    apply.defvjp(fwd, bwd)
     return apply

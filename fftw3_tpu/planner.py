@@ -78,7 +78,9 @@ def _c2c_cost(desc: Dict, hw: HardwareModel = HW) -> float:
                                                   hw.matmul_eff(n))
     if alg == "mixed":
         p = desc["p"]
-        stage = (2 * el * n / hw.hbm_bw
+        # the XLA stage really pays ~2 HBM round trips (einsum in/out plus
+        # the final axis swap); keep in sync with the C++ mirror
+        stage = (4 * el * n / hw.hbm_bw
                  + 8.0 * p * n / (hw.peak_flops * hw.matmul_eff(p))
                  + 6.0 * n / hw.vpu_flops)
         return stage + p * _c2c_cost(desc["child"], hw)
@@ -98,6 +100,15 @@ def _c2c_cost(desc: Dict, hw: HardwareModel = HW) -> float:
         t = 1.25 * 2 * el * n / hw.hbm_bw
         for p in desc["radices"]:
             t += 6.0 * p * n / (hw.peak_flops * hw.matmul_eff(p))
+        return t
+    if alg == "pallas4":
+        # four-step composition: three HBM passes (two kernels + the output
+        # transpose) plus MXU time of each kernel's internal radix schedule
+        from .ops import pallas_stockham
+        t = 3.3 * 2 * el * n / hw.hbm_bw
+        for f in (desc["p"], desc["q"]):
+            for r in pallas_stockham.choose_radices(f):
+                t += 6.0 * r * n / (hw.peak_flops * hw.matmul_eff(r))
         return t
     raise ValueError(alg)
 
@@ -208,6 +219,8 @@ class Planner:
         if not native.available():
             return None
         allow = pallas_stockham.backend_allows(rdtype)
+        if allow and pallas_stockham.fourstep_applicable(n, rdtype):
+            return None     # pallas4 not in the C++ search yet: Python path
         return native.plan_c2c(n, patience, allow, self.hw)
 
     def _candidates(self, kind: str, n: int, rdtype,
@@ -297,6 +310,9 @@ class Planner:
         if pallas_stockham.applicable(n, rdtype):
             out.append({"alg": "pallas", "n": n,
                         "radices": pallas_stockham.choose_radices(n)})
+        if pallas_stockham.fourstep_applicable(n, rdtype):
+            fp, fq = pallas_stockham.choose_fourstep(n)
+            out.append({"alg": "pallas4", "n": n, "p": fp, "q": fq})
             if patience >= K.PATIENCE_MEASURE:
                 # let MEASURE time alternative radix schedules (the
                 # codelet-choice part of FFTW's search space)
@@ -441,6 +457,10 @@ def validate_desc(kind: str, n: int, desc) -> bool:
             return (isinstance(rad, list) and
                     math.prod(rad) == n and
                     all(isinstance(r, int) and 1 < r for r in rad))
+        if alg == "pallas4":
+            p, q = desc.get("p"), desc.get("q")
+            return (isinstance(p, int) and isinstance(q, int)
+                    and p * q == n)
         if alg == "bluestein":
             m = desc.get("m")
             return (isinstance(m, int) and m >= 2 * n - 1

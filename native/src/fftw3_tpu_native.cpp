@@ -387,7 +387,9 @@ double node_cost(const Ctx& c, const Node& nd) {
            8.0 * n * n / (hw.peak_flops * hw.matmul_eff(n));
   if (nd.alg == "mixed") {
     double p = (double)nd.p;
-    double stage = 2 * el * n / hw.hbm_bw +
+    // ~2 HBM round trips per XLA stage (einsum + final axis swap);
+    // keep in sync with the Python planner
+    double stage = 4 * el * n / hw.hbm_bw +
                    8.0 * p * n / (hw.peak_flops * hw.matmul_eff(p)) +
                    6.0 * n / hw.vpu_flops;
     return stage + p * cost_of(c, nd.child);

@@ -174,3 +174,33 @@ def test_fused_c2r_planner_integration():
     X = np.fft.rfft(x, axis=1).astype(np.complex64)
     got = np.asarray(p.execute(X))
     assert np.max(np.abs(got - 1024 * x)) / (1024 * np.max(np.abs(x))) < 1e-4
+
+
+@pytest.mark.parametrize("n", [4096, 8192])
+def test_fourstep(n):
+    pq = PS.choose_fourstep(n)
+    assert pq is not None
+    fn = PS.build_pallas_c2c_split_fourstep(
+        {"alg": "pallas4", "n": n, "p": pq[0], "q": pq[1]}, -1, np.float32)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+    yr, yi = jax.jit(fn)(jnp.asarray(x.real, jnp.float32),
+                         jnp.asarray(x.imag, jnp.float32))
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    want = np.fft.fft(x, axis=-1)
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-4
+
+
+def test_fourstep_planner_integration():
+    from fftw3_tpu import planner as planner_mod
+    pl = planner_mod.Planner()
+    desc = pl.plan_c2c(4096, np.float32, 0)
+    assert desc["alg"] == "pallas4", desc
+    import fftw3_tpu as ftpu
+    p = ftpu.plan_dft((2, 4096), axes=(1,))
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal((2, 4096))
+         + 1j * rng.standard_normal((2, 4096))).astype(np.complex64)
+    got = np.asarray(p.execute(x))
+    want = np.fft.fft(x, axis=1)
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-4
