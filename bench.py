@@ -135,6 +135,8 @@ def main():
 
     if suite:
         for name, fn in [("c2c_3d_256", lambda: bench_c2c_3d(256)),
+                         ("c2c_1d_4096_b4096",
+                          lambda: bench_c2c_1d(4096, 4096)),
                          ("c2c_1d_1000_b32768",
                           lambda: bench_c2c_1d(1000, 32768)),
                          ("r2c_2d_2048", lambda: bench_r2c_2d(2048)),

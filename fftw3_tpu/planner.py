@@ -562,6 +562,12 @@ def sprint_desc(desc: Dict) -> str:
     n = desc.get("n")
     if alg == "mixed":
         return f"(mixed-{desc['p']}/{n} {sprint_desc(desc['child'])})"
+    if alg == "pallas":
+        return f"(pallas-{n} r{'x'.join(map(str, desc['radices']))})"
+    if alg == "pallas4":
+        return f"(pallas4-{desc['p']}x{desc['q']})"
+    if alg in ("pallas_r2c", "pallas_c2r"):
+        return f"({alg}-{n})"
     if alg == "bluestein":
         return f"(bluestein-{n}->{desc['m']} {sprint_desc(desc['child'])})"
     if alg == "rader":
