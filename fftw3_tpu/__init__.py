@@ -26,7 +26,8 @@ from .guru import (  # noqa: F401
     execute_r2r, execute_split_dft, iodim, iodim64, plan_guru64_dft,
     plan_guru64_dft_c2r, plan_guru64_dft_r2c, plan_guru64_r2r,
     plan_guru64_split_dft, plan_guru_dft_c2r, plan_guru_dft_r2c,
-    plan_guru_r2r, plan_guru_split_dft, plan_many_dft_c2r, plan_many_dft_r2c,
+    plan_guru_r2r, plan_guru_split_dft, plan_guru_split_dft_c2r,
+    plan_guru_split_dft_r2c, plan_many_dft_c2r, plan_many_dft_r2c,
     plan_many_r2r)
 from .threads import (  # noqa: F401
     cleanup_threads, init_threads, make_planner_thread_safe,

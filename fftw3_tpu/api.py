@@ -323,19 +323,35 @@ def ifft(x, n=None, axis=-1, norm=None):
     return _c2c(x, (axis,), BACKWARD, norm, False)
 
 
-def fft2(x, axes=(-2, -1), norm=None):
+def _fit_shape(x, s, axes):
+    """numpy's `s=` semantics: crop/zero-pad each axis to s[i]."""
+    if s is None:
+        return x, axes
+    if axes is None:
+        axes = tuple(range(x.ndim - len(s), x.ndim))
+    axes = _axes_tuple(x.shape, axes)
+    for a, n in zip(axes, s):
+        x = _fit_length(x, n, a)
+    return x, axes
+
+
+def fft2(x, s=None, axes=(-2, -1), norm=None):
+    x, axes = _fit_shape(jnp.asarray(x), s, axes)
     return _c2c(x, axes, FORWARD, norm, True)
 
 
-def ifft2(x, axes=(-2, -1), norm=None):
+def ifft2(x, s=None, axes=(-2, -1), norm=None):
+    x, axes = _fit_shape(jnp.asarray(x), s, axes)
     return _c2c(x, axes, BACKWARD, norm, False)
 
 
-def fftn(x, axes=None, norm=None):
+def fftn(x, s=None, axes=None, norm=None):
+    x, axes = _fit_shape(jnp.asarray(x), s, axes)
     return _c2c(x, axes, FORWARD, norm, True)
 
 
-def ifftn(x, axes=None, norm=None):
+def ifftn(x, s=None, axes=None, norm=None):
+    x, axes = _fit_shape(jnp.asarray(x), s, axes)
     return _c2c(x, axes, BACKWARD, norm, False)
 
 
@@ -344,7 +360,12 @@ def rfft(x, n=None, axis=-1, norm=None):
     return rfftn(x, axes=(axis,), norm=norm)
 
 
-def rfftn(x, axes=None, norm=None):
+def rfftn(x, s=None, axes=None, norm=None):
+    x, axes = _fit_shape(jnp.asarray(x), s, axes)
+    return _rfftn_core(x, axes, norm)
+
+
+def _rfftn_core(x, axes=None, norm=None):
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         raise TypeError("rfft requires real input")
@@ -358,8 +379,8 @@ def rfftn(x, axes=None, norm=None):
     return y if s == 1.0 else y * jnp.asarray(s, dtype=y.dtype)
 
 
-def rfft2(x, axes=(-2, -1), norm=None):
-    return rfftn(x, axes, norm)
+def rfft2(x, s=None, axes=(-2, -1), norm=None):
+    return rfftn(x, s, axes, norm)
 
 
 def irfft(x, n=None, axis=-1, norm=None):

@@ -290,3 +290,54 @@ def execute_r2r(plan, x):
     if plan.problem.kind != "r2r":
         raise ValueError("execute_r2r requires an r2r plan")
     return plan.execute(x)
+
+
+class SplitR2CPlan:
+    """Split-output r2c plan: real in -> (re, im) arrays out
+    (fftw_plan_guru_split_dft_r2c analog)."""
+
+    def __init__(self, plan):
+        self._plan = plan
+        self.in_shape = plan.in_shape
+        self.problem = plan.problem
+
+    def execute(self, x):
+        import jax
+        fn = jax.jit(lambda a: (lambda y: (jnp.real(y), jnp.imag(y)))(
+            self._plan.apply(a)))
+        return fn(jnp.asarray(x))
+
+    __call__ = execute
+
+
+class SplitC2RPlan:
+    """Split-input c2r plan: (re, im) arrays in -> real out
+    (fftw_plan_guru_split_dft_c2r analog)."""
+
+    def __init__(self, plan):
+        self._plan = plan
+        self.in_shape = plan.in_shape
+        self.problem = plan.problem
+
+    def execute(self, ri, ii):
+        import jax
+        fn = jax.jit(lambda a, b: self._plan.apply(a + 1j * b))
+        return fn(jnp.asarray(ri), jnp.asarray(ii))
+
+    __call__ = execute
+
+
+def plan_guru_split_dft_r2c(dims: Sequence, howmany_dims: Sequence = (),
+                            flags: int = K.ESTIMATE,
+                            dtype="float32") -> SplitR2CPlan:
+    return SplitR2CPlan(plan_guru_dft_r2c(dims, howmany_dims, flags, dtype))
+
+
+def plan_guru_split_dft_c2r(dims: Sequence, howmany_dims: Sequence = (),
+                            flags: int = K.ESTIMATE,
+                            dtype="float32") -> SplitC2RPlan:
+    return SplitC2RPlan(plan_guru_dft_c2r(dims, howmany_dims, flags, dtype))
+
+
+plan_guru64_split_dft_r2c = plan_guru_split_dft_r2c
+plan_guru64_split_dft_c2r = plan_guru_split_dft_c2r

@@ -225,3 +225,45 @@ def _orthonormal_dct(type_, N):
     else:
         M /= np.sqrt(2.0 * N)
     return M
+
+
+class TestShapeParam:
+    """numpy's s= crop/pad parameter on the nd functions."""
+
+    def test_fftn_s(self, rng):
+        from fftw3_tpu.interfaces import numpy_fft as nf
+        x = rng.standard_normal((10, 12)) + 1j * rng.standard_normal((10, 12))
+        for s in [(8, 16), (12, 12)]:
+            got = np.asarray(nf.fftn(x, s=s))
+            want = np.fft.fftn(x, s=s)
+            assert np.allclose(got, want, atol=1e-3 * np.max(np.abs(want)))
+
+    def test_rfftn_s(self, rng):
+        from fftw3_tpu.interfaces import numpy_fft as nf
+        x = rng.standard_normal((6, 10))
+        got = np.asarray(nf.rfftn(x, s=(8, 8)))
+        want = np.fft.rfftn(x, s=(8, 8))
+        assert np.allclose(got, want, atol=1e-3 * np.max(np.abs(want)))
+
+    def test_fft2_s(self, rng):
+        from fftw3_tpu.interfaces import numpy_fft as nf
+        x = rng.standard_normal((5, 7))
+        got = np.asarray(nf.fft2(x, s=(4, 8)))
+        want = np.fft.fft2(x, s=(4, 8))
+        assert np.allclose(got, want, atol=1e-3 * np.max(np.abs(want)))
+
+
+def test_guru_split_r2c_c2r(rng):
+    """Split-array guru variants for the real transforms
+    (fftw_plan_guru_split_dft_r2c / _c2r analogs)."""
+    import fftw3_tpu as ftpu
+    sp = ftpu.plan_guru_split_dft_r2c([32], [3])
+    x = rng.standard_normal((3, 32)).astype(np.float32)
+    yr, yi = sp.execute(x)
+    want = np.fft.rfft(x, axis=-1)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.allclose(got, want, atol=1e-3 * np.max(np.abs(want)))
+    spi = ftpu.plan_guru_split_dft_c2r([32], [3])
+    y = np.asarray(spi.execute(np.asarray(want.real, np.float32),
+                               np.asarray(want.imag, np.float32)))
+    assert np.allclose(y, 32 * x, atol=1e-2)
