@@ -219,8 +219,6 @@ class Planner:
         if not native.available():
             return None
         allow = pallas_stockham.backend_allows(rdtype)
-        if allow and pallas_stockham.fourstep_applicable(n, rdtype):
-            return None     # pallas4 not in the C++ search yet: Python path
         return native.plan_c2c(n, patience, allow, self.hw)
 
     def _candidates(self, kind: str, n: int, rdtype,

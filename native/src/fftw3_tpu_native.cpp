@@ -400,6 +400,13 @@ double node_cost(const Ctx& c, const Node& nd) {
       t += 6.0 * p * n / (hw.peak_flops * hw.matmul_eff(p));
     return t;
   }
+  if (nd.alg == "pallas4") {
+    // three HBM passes + MXU time of each kernel's internal schedule
+    double t = 3.3 * 2 * el * n / hw.hbm_bw;
+    for (int r : nd.radices)   // holds rad(p) ++ rad(q)
+      t += 6.0 * r * n / (hw.peak_flops * hw.matmul_eff(r));
+    return t;
+  }
   if (nd.alg == "bluestein") {
     double m = (double)nd.m;
     double extra = 6.0 * el * m / hw.hbm_bw + 12.0 * m / hw.vpu_flops;
@@ -457,6 +464,11 @@ std::vector<long> mixed_factors(long n, int direct_max, int patience) {
 // stage-cost curve s(p) = 230/p + p/9, radices < 8 heavily penalized.
 double pallas_stage_cost(long p) { return 230.0 / p + p / 9.0; }
 
+// mirror of pallas_stockham.choose_fourstep: p pow2 in [8,128], largest
+// first, q a 128-multiple inside the fused-kernel window
+bool pallas_fourstep(long n, int min_n, int max_n, int max_radix,
+                     int max_single, long* out_p, long* out_q);
+
 bool pallas_radices(long n, int max_radix, int max_single,
                     std::vector<int>& out) {
   if (n <= max_single) {
@@ -482,6 +494,26 @@ bool pallas_radices(long n, int max_radix, int max_single,
   if (!have) return false;
   out = {(int)bp, (int)bq};
   return true;
+}
+
+bool pallas_fourstep(long n, int min_n, int max_n, int max_radix,
+                     int max_single, long* out_p, long* out_q) {
+  const int inner_tile = 128;
+  bool have = false;
+  for (long p : {8L, 16L, 32L, 64L, 128L}) {
+    if (n % p) continue;
+    long q = n / p;
+    if (q % inner_tile || q < min_n || q > max_n) continue;
+    std::vector<int> tmp;
+    if (!pallas_radices(q, max_radix, max_single, tmp)) continue;
+    if (!pallas_radices(p, max_radix, max_single, tmp)) continue;
+    if (!have || p > *out_p) {
+      have = true;
+      *out_p = p;
+      *out_q = q;
+    }
+  }
+  return have;
 }
 
 int plan_c2c(Ctx& c, long n);
@@ -518,6 +550,23 @@ int plan_c2c(Ctx& c, long n) {
       nd.alg = "pallas";
       nd.n = n;
       nd.radices = rad;
+      cands.push_back(add_node(c, nd));
+    }
+  }
+  if (P.allow_pallas && n > P.pallas_max_n) {
+    long fp = 0, fq = 0;
+    if (pallas_fourstep(n, P.pallas_min_n, P.pallas_max_n,
+                        P.pallas_max_radix, P.pallas_max_single, &fp, &fq)) {
+      Node nd;
+      nd.alg = "pallas4";
+      nd.n = n;
+      nd.p = fp;
+      nd.m = fq;
+      std::vector<int> rp, rq;
+      pallas_radices(fp, P.pallas_max_radix, P.pallas_max_single, rp);
+      pallas_radices(fq, P.pallas_max_radix, P.pallas_max_single, rq);
+      nd.radices = rp;
+      nd.radices.insert(nd.radices.end(), rq.begin(), rq.end());
       cands.push_back(add_node(c, nd));
     }
   }
@@ -594,6 +643,10 @@ void to_json(const Ctx& c, int idx, std::string& out) {
       out += buf;
     }
     out += "]";
+  }
+  if (nd.alg == "pallas4") {
+    snprintf(buf, sizeof buf, ", \"p\": %ld, \"q\": %ld", nd.p, nd.m);
+    out += buf;
   }
   if (nd.child >= 0) {
     out += ", \"child\": ";

@@ -116,3 +116,25 @@ class TestNativePlannerEquality:
         assert desc["n"] == 1024
         # plan result is wisdom-cached under the same key either way
         assert pl.stats["nplan"] == 1
+
+
+class TestNativePallasEquality:
+    """With the pallas tier force-enabled, native and Python ESTIMATE
+    searches still agree (including pallas/pallas4 candidates)."""
+
+    @pytest.mark.parametrize("n", [256, 512, 1024, 2048, 4096, 8192,
+                                   16384, 65536, 131072, 1000])
+    def test_equal_with_pallas(self, n):
+        from fftw3_tpu.ops import pallas_stockham
+        old_mode = config.pallas_mode
+        old_native = config.use_native
+        config.pallas_mode = "interpret"     # backend_allows -> True on CPU
+        try:
+            config.use_native = False
+            py = planner_mod.Planner()
+            want = py.plan_c2c(n, np.float32, 0)
+            got = native.plan_c2c(n, 0, True, planner_mod.HW)
+        finally:
+            config.pallas_mode = old_mode
+            config.use_native = old_native
+        assert got == want, (n, got, want)
