@@ -50,14 +50,80 @@ def _dims_to_shape(dims: Sequence) -> Tuple[int, ...]:
     return tuple(out)
 
 
+def _has_strides(dims) -> bool:
+    return any(isinstance(d, iodim) and d.is_ not in (0,) for d in dims)
+
+
+class StridedGuruPlan:
+    """Guru plan over a FLAT buffer with explicit iodim input strides —
+    FFTW's actual guru memory model (fftw/fftw_api.c:1172-1533).
+
+    The caller passes the flat 1-D array (plus an optional element offset);
+    the plan gathers the strided view, transforms, and returns the result
+    in contiguous logical layout (functional arrays cannot scatter into an
+    existing buffer, so output strides are not honored — the FFTW
+    capability this preserves is *reading* arbitrary layouts).
+    """
+
+    def __init__(self, plan, dims, howmany_dims):
+        self._plan = plan
+        all_dims = tuple(howmany_dims) + tuple(dims)
+        sizes = [d.n for d in all_dims]
+        strides = []
+        default = 1
+        # dwim: stride 0 means contiguous row-major from the right
+        for d in reversed(all_dims):
+            strides.append(d.is_ if d.is_ else default)
+            default = (d.is_ if d.is_ else default) * d.n
+        strides = strides[::-1]
+        idx = np.zeros(sizes, np.int64)
+        for ax, (sz, st) in enumerate(zip(sizes, strides)):
+            shp = [1] * len(sizes)
+            shp[ax] = sz
+            idx = idx + st * np.arange(sz, dtype=np.int64).reshape(shp)
+        self._idx = idx
+        self.in_shape = tuple(sizes)
+        self.out_shape = plan.out_shape
+        self.problem = plan.problem
+
+    @property
+    def apply(self):
+        plan = self._plan
+        idx = self._idx
+
+        def fn(flat, offset=0):
+            return plan.apply(flat[idx + offset])
+        return fn
+
+    def execute(self, flat, offset: int = 0):
+        import jax
+        return jax.jit(self.apply, static_argnums=())(jnp.asarray(flat),
+                                                      offset)
+
+    __call__ = execute
+
+    def __repr__(self):
+        return f"(strided-guru {self._plan!r})"
+
+
 def plan_guru_dft(dims: Sequence, howmany_dims: Sequence = (),
                   sign: int = K.FORWARD, flags: int = K.ESTIMATE,
                   dtype="complex64"):
     """fftw_plan_guru_dft analog: rank = len(dims) transform over arrays of
-    shape howmany_dims + dims (vector dims leading, row-major)."""
+    shape howmany_dims + dims (vector dims leading, row-major).
+
+    With explicit iodim input strides, returns a :class:`StridedGuruPlan`
+    operating on a flat buffer (FFTW's guru memory model); otherwise a
+    regular shape-indexed Plan."""
     shape = _dims_to_shape(howmany_dims) + _dims_to_shape(dims)
     axes = tuple(range(len(howmany_dims), len(shape)))
-    return api.plan_dft(shape, axes, sign, flags, dtype)
+    plan = api.plan_dft(shape, axes, sign, flags, dtype)
+    if _has_strides(tuple(howmany_dims) + tuple(dims)):
+        nd = [d if isinstance(d, iodim) else iodim(int(d)) for d in dims]
+        nh = [d if isinstance(d, iodim) else iodim(int(d))
+              for d in howmany_dims]
+        return StridedGuruPlan(plan, nd, nh)
+    return plan
 
 
 def plan_guru_dft_r2c(dims: Sequence, howmany_dims: Sequence = (),

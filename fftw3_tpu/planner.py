@@ -188,6 +188,8 @@ class Planner:
             desc = self._plan_c2c_native(n, rdtype, patience)
             if desc is not None:
                 cost = self._cost("c2c", desc)
+                self.stats["epcost"] = self.stats.get("epcost", 0.0) + cost
+                self.stats["pcost"] = self.stats.get("pcost", 0.0) + cost
                 self.wisdom[key] = {"desc": desc, "patience": patience,
                                     "cost": cost}
                 if self.hook is not None:
@@ -199,9 +201,12 @@ class Planner:
         if patience == K.PATIENCE_ESTIMATE or len(cands) == 1:
             best = min(cands, key=lambda d: self._cost(kind, d))
             cost = self._cost(kind, best)
+            self.stats["epcost"] = self.stats.get("epcost", 0.0) + cost
         else:
             self._measure_t0 = time.perf_counter()
             best, cost = self._measure_best(kind, n, rdtype, cands)
+        # planner counters (nplan/pcost/epcost, fftw/fftw_api.h:896-900)
+        self.stats["pcost"] = self.stats.get("pcost", 0.0) + cost
         self.wisdom[key] = {"desc": best, "patience": patience, "cost": cost}
         if self.hook is not None:
             self.hook(key, best, cost)

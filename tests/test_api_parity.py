@@ -267,3 +267,35 @@ def test_guru_split_r2c_c2r(rng):
     y = np.asarray(spi.execute(np.asarray(want.real, np.float32),
                                np.asarray(want.imag, np.float32)))
     assert np.allclose(y, 32 * x, atol=1e-2)
+
+
+def test_guru_strided_flat_buffer(rng):
+    """Guru plans with explicit iodim strides read FFTW's flat-buffer
+    layout: here a transform over a strided/interleaved buffer."""
+    from fftw3_tpu.guru import StridedGuruPlan
+    n, stride = 16, 3
+    flat = (rng.standard_normal(n * stride)
+            + 1j * rng.standard_normal(n * stride)).astype(np.complex64)
+    p = ftpu.plan_guru_dft([guru.iodim(n, stride)])
+    assert isinstance(p, StridedGuruPlan)
+    got = np.asarray(p.execute(flat))
+    want = np.fft.fft(flat[::stride][:n])
+    assert np.allclose(got, want, atol=1e-3 * np.max(np.abs(want)))
+    # batched: 4 transforms at distance 1, elements at stride 4
+    howmany, dist = 4, 1
+    flat2 = (rng.standard_normal(n * howmany)
+             + 1j * rng.standard_normal(n * howmany)).astype(np.complex64)
+    p2 = ftpu.plan_guru_dft([guru.iodim(n, howmany)],
+                            [guru.iodim(howmany, dist)])
+    got2 = np.asarray(p2.execute(flat2))
+    view = flat2.reshape(n, howmany).T          # (howmany, n)
+    want2 = np.fft.fft(view, axis=-1)
+    assert np.allclose(got2, want2, atol=1e-3 * np.max(np.abs(want2)))
+
+
+def test_planner_counters():
+    from fftw3_tpu.planner import Planner
+    pl = Planner()
+    pl.plan_c2c(96, np.float32, 0)
+    assert pl.stats["pcost"] > 0
+    assert pl.stats.get("epcost", 0) > 0
