@@ -392,16 +392,24 @@ def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
     gmax = _inner_group(n, tl)
 
     def make_fn(pre, L):
-        g = gmax
+        # budget an (n x lanes) working set ~ the 1-D kernel's: first widen
+        # the lane tile (cheap), then group leading rows
+        area = MAX_N * 64
+        tle = tl
+        while (tle * 2 <= L and L % (tle * 2) == 0
+               and n * tle * 2 <= area):
+            tle *= 2
+        g = max(1, area // (n * tle))
+        g = 1 << (g.bit_length() - 1)
         while pre % g:
             g //= 2
-        kernel = partial(_kernel_inner, tuple(radices), n, g, tl)
-        data_spec = pl.BlockSpec((g, n, tl), lambda i, j: (i, 0, j),
+        kernel = partial(_kernel_inner, tuple(radices), n, g, tle)
+        data_spec = pl.BlockSpec((g, n, tle), lambda i, j: (i, 0, j),
                                  memory_space=pltpu.VMEM)
         const_specs = [pl.BlockSpec(c.shape, lambda i, j: (0, 0),
                                     memory_space=pltpu.VMEM)
                        for c in flat_consts]
-        grid = (pre // g, L // tl)
+        grid = (pre // g, L // tle)
         out_shape = [jax.ShapeDtypeStruct((pre, n, L), jnp.float32)] * 2
         return pl.pallas_call(
             kernel,
@@ -411,7 +419,7 @@ def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
             out_shape=out_shape,
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
-                flops=int(6 * n * sum(radices) * g * tl)
+                flops=int(6 * n * sum(radices) * g * tle)
                 * grid[0] * grid[1],
                 bytes_accessed=int(4 * pre * n * L * 4),
                 transcendentals=0),
