@@ -168,6 +168,18 @@ def measure_transpose_method(mesh: Mesh, axis_name: str,
     return best
 
 
+def _resolve_transpose(method: str, mesh: Mesh, axis_name: str,
+                       shape, dtype):
+    """Resolve a transpose algorithm name; "measure" times the registered
+    algorithms on the actual mesh and picks (the reference planner times
+    its three MPI transpose solvers per problem, SURVEY.md section 5)."""
+    if method == "measure":
+        nproc = mesh.shape[axis_name]
+        local = (max(nproc, shape[0] // nproc),) + tuple(shape[1:])
+        method = measure_transpose_method(mesh, axis_name, local, dtype)
+    return _TRANSPOSE_IMPLS[method]
+
+
 class DistPlan:
     """Executable distributed plan over global jax.Arrays."""
 
@@ -231,7 +243,9 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
         else np.float64
     patience = K.patience_of_flags(flags)
     pl = planner_mod.the_planner
-    transpose = _TRANSPOSE_IMPLS[transpose_method]
+    transpose = _resolve_transpose(transpose_method, mesh,
+                                   axis_name, shape,
+                                   np.complex64)
 
     in_spec = P(*[axis_name if i == shard_axis else None
                   for i in range(ndim)])
@@ -323,7 +337,9 @@ def plan_dft_1d_dist(n: int, mesh: Mesh, axis_name: str = "x",
     shape = tuple(batch_shape) + (n,)
     rdtype = np.float32 if np.dtype(dtype) in (np.complex64, np.float32) \
         else np.float64
-    transpose = _TRANSPOSE_IMPLS[transpose_method]
+    transpose = _resolve_transpose(transpose_method, mesh,
+                                   axis_name, shape,
+                                   np.complex64)
     in_spec = P(*([None] * len(batch_shape) + [axis_name]))
     return _plan_six_step(shape, mesh, axis_name, len(shape) - 1, sign,
                           flags, rdtype, transpose, in_spec, scrambled_out)
@@ -478,7 +494,9 @@ def plan_transpose(n0: int, n1: int, mesh: Mesh, axis_name: str = "x",
     nproc = mesh.shape[axis_name]
     if n0 % nproc or n1 % nproc:
         raise ValueError(f"{n0}x{n1} transpose needs {nproc} | both dims")
-    transpose = _TRANSPOSE_IMPLS[transpose_method]
+    transpose = _resolve_transpose(transpose_method, mesh,
+                                   axis_name, (n0, n1),
+                                   np.complex64)
     vec = (howmany,) if howmany > 1 else ()
     shape = (n0, n1) + vec
     in_spec = P(*([axis_name] + [None] * (len(shape) - 1)))
@@ -548,7 +566,9 @@ def plan_dft_r2c_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
         else np.float64
     patience = K.patience_of_flags(flags)
     pl = planner_mod.the_planner
-    transpose = _TRANSPOSE_IMPLS[transpose_method]
+    transpose = _resolve_transpose(transpose_method, mesh,
+                                   axis_name, shape,
+                                   np.complex64)
 
     cshape = list(shape)
     cshape[last] = shape[last] // 2 + 1
@@ -614,7 +634,9 @@ def plan_dft_c2r_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
         else np.float64
     patience = K.patience_of_flags(flags)
     pl = planner_mod.the_planner
-    transpose = _TRANSPOSE_IMPLS[transpose_method]
+    transpose = _resolve_transpose(transpose_method, mesh,
+                                   axis_name, shape,
+                                   np.complex64)
 
     cshape = list(shape)
     cshape[last] = shape[last] // 2 + 1
@@ -674,7 +696,9 @@ def plan_r2r_dist(shape: Sequence[int], kinds, mesh: Mesh,
     rdtype = np.float32 if np.dtype(dtype) == np.float32 else np.float64
     patience = K.patience_of_flags(flags)
     pl = planner_mod.the_planner
-    transpose = _TRANSPOSE_IMPLS[transpose_method]
+    transpose = _resolve_transpose(transpose_method, mesh,
+                                   axis_name, shape,
+                                   np.complex64)
 
     in_spec = P(*[axis_name if i == shard_axis else None
                   for i in range(ndim)])
@@ -747,7 +771,14 @@ def plan_dft_pencil(shape: Sequence[int], mesh: Mesh,
         else np.float64
     patience = K.patience_of_flags(flags)
     pl = planner_mod.the_planner
-    transpose = _TRANSPOSE_IMPLS[transpose_method]
+    # resolve per mesh axis ("measure" times each axis independently)
+    transposes = {name: _resolve_transpose(transpose_method, mesh, name,
+                                           shape, np.complex64)
+                  for name in (ay, az)}
+
+    def transpose(x, name, split_axis, concat_axis):
+        return transposes[name](x, name, split_axis, concat_axis)
+
     fns = [c2c_ops.build_c2c(pl.plan_c2c(n, rdtype, patience), sign, rdtype)
            for n in shape]
 

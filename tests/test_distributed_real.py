@@ -176,3 +176,16 @@ def test_fuzz_dist_bounded():
     """check.pl --mpi analog: random distributed problems stay green."""
     from fftw3_tpu.harness.fuzz import run_fuzz_dist
     assert run_fuzz_dist(count=10, seed=3) == 0
+
+
+def test_transpose_method_measure(rng):
+    """transpose_method='measure' autotunes the communication algorithm."""
+    from fftw3_tpu.parallel import plan_dft_dist
+    mesh = make_mesh(4)
+    shape = (8, 8, 12)
+    x = (rng.standard_normal(shape)
+         + 1j * rng.standard_normal(shape)).astype("complex128")
+    plan = plan_dft_dist(shape, mesh, dtype="complex128",
+                         transpose_method="measure")
+    y = plan(sharded(x, mesh, plan.in_spec))
+    assert relerr(y, np.fft.fftn(x)) < 1e-10
