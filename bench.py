@@ -78,15 +78,17 @@ def bench_c2c_3d(n: int):
     return flops / t, t, repr(plan)
 
 
-def bench_r2c_2d(n: int):
+def bench_r2c_2d(n: int, batch: int = 8):
     import jax
     import jax.numpy as jnp
 
     import fftw3_tpu as ftpu
 
-    plan = ftpu.plan_dft_r2c((n, n), dtype="float32")
+    # batched: a single n^2 image is too little work to time stably
+    # through the tunnel's dispatch jitter
+    plan = ftpu.plan_dft_r2c((batch, n, n), axes=(1, 2), dtype="float32")
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((batch, n, n)), jnp.float32)
 
     @jax.jit
     def run(a):
@@ -95,7 +97,7 @@ def bench_r2c_2d(n: int):
 
     _, time_dispatched = _timers()
     t = time_dispatched(run, (x,))
-    flops = 2.5 * (n * n) * np.log2(float(n) * n)
+    flops = 2.5 * (n * n) * np.log2(float(n) * n) * batch
     return flops / t, t, repr(plan)
 
 

@@ -1,18 +1,21 @@
 """Global numeric configuration.
 
-TPU MXUs execute f32 matmuls as bf16 multi-pass by default, which breaks
+TPU MXUs execute f32 matmuls as one-pass bf16 by default, which breaks
 FFTW's single-precision accuracy contract (max rel err <= 1e-3,
-``fftw/libbench2/bench-main.c:70``).  All transform contractions therefore
-default to ``Precision.HIGHEST`` (bf16x6 on the MXU — still MXU-rate, ~3x
-the flops of one pass, and bandwidth-bound FFTs rarely notice).  Set
-``matmul_precision = "default"`` to trade accuracy for raw MXU throughput.
+``fftw/libbench2/bench-main.c:70``).  XLA-path transform contractions
+default to ``Precision.HIGH`` (bf16x3: measured rel err ~1e-5, 2.5x faster
+than the 6-pass HIGHEST); f64 transforms are unaffected (XLA's f64
+emulation ignores the f32 precision enum — verified ~1e-15 on-chip).
+Set ``matmul_precision = "highest"`` for ~1e-7 single precision, or
+``"default"`` for raw one-pass bf16 speed (fails the 1e-3 contract).
 """
 from __future__ import annotations
 
 import jax
 
-#: 'highest' (accuracy contract, default) | 'default' (fast, ~bf16)
-matmul_precision: str = "highest"
+#: 'high' (bf16x3, default: meets the 1e-3 contract at ~1e-5)
+#: | 'highest' (bf16x6, ~1e-7) | 'default' (bf16x1, fast, ~5e-3)
+matmul_precision: str = "high"
 
 #: Pallas codelet tier mode: 'auto' (compiled on TPU, interpreted elsewhere)
 #: | 'on' (always compiled) | 'interpret' | 'off' (planner skips it)

@@ -393,11 +393,12 @@ def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
 
     def make_fn(pre, L):
         # budget an (n x lanes) working set ~ the 1-D kernel's: first widen
-        # the lane tile (cheap), then group leading rows
+        # the lane tile (cheap), then group leading rows.  L need not be a
+        # tile multiple: Pallas masks the partial edge block, and row-FFT
+        # math is lane-independent.
         area = MAX_N * 64
         tle = tl
-        while (tle * 2 <= L and L % (tle * 2) == 0
-               and n * tle * 2 <= area):
+        while tle * 2 <= L and n * tle * 2 <= area:
             tle *= 2
         g = max(1, area // (n * tle))
         g = 1 << (g.bit_length() - 1)
@@ -409,7 +410,7 @@ def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
         const_specs = [pl.BlockSpec(c.shape, lambda i, j: (0, 0),
                                     memory_space=pltpu.VMEM)
                        for c in flat_consts]
-        grid = (pre // g, L // tle)
+        grid = (pre // g, -(-L // tle))
         out_shape = [jax.ShapeDtypeStruct((pre, n, L), jnp.float32)] * 2
         return pl.pallas_call(
             kernel,
@@ -597,9 +598,10 @@ def build_pallas_c2c_split_inner(desc: Dict, sign: int, rdtype):
 
 def inner_applicable(desc: Dict, trail: int) -> bool:
     """Can the axis -2 kernel serve a transform whose trailing-dims product
-    is `trail`?"""
-    return (desc.get("alg") == "pallas" and trail >= INNER_TILE_L
-            and trail % INNER_TILE_L == 0)
+    is `trail`?  Any trail >= one lane tile works: Pallas masks the partial
+    edge block, and row-FFT math is lane-independent (garbage lanes in the
+    padding cannot contaminate real ones)."""
+    return desc.get("alg") == "pallas" and trail >= INNER_TILE_L
 
 
 def build_pallas_c2c_split(desc: Dict, sign: int, rdtype):
