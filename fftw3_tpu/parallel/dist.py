@@ -369,9 +369,10 @@ def _plan_six_step(shape, mesh, axis_name, axis, sign, flags, rdtype,
 
     nb = len(shape) - 1
 
-    def local_fn(x, w):
+    def local_fn(x, wr, wi):
         # x local: batch + (n/P,) == batch + (R/P, C) rows of the matrix
-        bshape = x.shape[:-1]
+        w = wr + 1j * wi          # combined on-device (complex arrays
+        bshape = x.shape[:-1]     # cannot cross some host<->TPU transports)
         x = x.reshape(*bshape, R // nproc, C)
         # step 1: transpose -> (R, C/P): gather rows, scatter cols
         x = transpose(x, axis_name, split_axis=nb + 1, concat_axis=nb)
@@ -405,12 +406,17 @@ def _plan_six_step(shape, mesh, axis_name, axis, sign, flags, rdtype,
             self.desc = f"six-step R={R} C={C}" + \
                 (" scrambled" if scrambled_out else "")
             inner = jax.shard_map(local_fn, mesh=mesh,
-                                  in_specs=(in_spec, w_spec),
+                                  in_specs=(in_spec, w_spec, w_spec),
                                   out_specs=out_spec)
-            wdev = jax.device_put(
-                W.reshape((1,) * nb + W.shape),
-                NamedSharding(mesh, w_spec))
-            self._fn = jax.jit(lambda x: inner(x, wdev))
+            sh = NamedSharding(mesh, w_spec)
+            wshape = (1,) * nb + W.shape
+            rdt = np.float32 if ctype == np.dtype(np.complex64) \
+                else np.float64
+            wr = jax.device_put(
+                np.ascontiguousarray(W.real, rdt).reshape(wshape), sh)
+            wi = jax.device_put(
+                np.ascontiguousarray(W.imag, rdt).reshape(wshape), sh)
+            self._fn = jax.jit(lambda x: inner(x, wr, wi))
 
     return _SixStep()
 
