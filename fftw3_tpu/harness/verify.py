@@ -186,8 +186,12 @@ def _impulse(cl: _Closure, rng, rounds: int, tol: float,
     x0 = np.sqrt(prob.logical_n) / 2.0
     inA[tuple(idx)] = x0
     if prob.kind == "c2r":
-        # delta in the half-spectrum == constant real output
-        outA = np.full(cl.plan.out_shape, x0)
+        # delta in the half-spectrum == constant real output, but only in
+        # the batch entry holding the delta (the rest are zero)
+        outA = np.zeros(cl.plan.out_shape)
+        sl = (0,) * len(prob.batch) + tuple(slice(None)
+                                            for _ in prob.sizes)
+        outA[sl] = x0
     else:
         outA = oracle(_embed_real(inA, cl))
     e = acmp(cl.apply(inA), outA, tol, "impulse 1")

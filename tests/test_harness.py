@@ -176,3 +176,12 @@ class TestAccuracy:
         assert main(["c64", "r32"]) == 0
         out = capsys.readouterr().out
         assert "linf" in out
+
+
+def test_verify_batched_c2r():
+    """Regression: batched c2r impulse expected a constant over ALL batch
+    rows; only the delta-bearing entry is constant (found by fuzzing)."""
+    res = verify_problem("orb229v8", rounds=2)
+    assert res.max_err < 1e-3
+    res = verify_problem("rb64v4", rounds=2)
+    assert res.max_err < 1e-3
