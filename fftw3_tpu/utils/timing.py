@@ -15,6 +15,13 @@ hundreds of microseconds of jitter.  The honest protocol
   symmetric, so the median is unbiased where a min/max is not), and
 * if the jitter swamps the signal (non-positive median), double the chain
   length and retry so the signal grows until it dominates.
+
+Chained values grow without bound for unnormalized transforms (sqrt(n) RMS
+gain per iteration, saturating to inf after ~20 iterations).  This is
+intentional: TPU vector/matrix arithmetic is value-independent (verified —
+chained-inf timings match finite-data marginal-slope measurements), and
+scaling the output back would add an HBM pass that distorts the very
+quantity being measured.
 """
 from __future__ import annotations
 
