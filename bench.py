@@ -5,6 +5,12 @@ complex transforms score ``5*N*log2(N)/t`` "normalized flops", real/r2r
 ``2.5*N*log2(N)/t``; timing is min-of-k with repeat-doubling calibration
 (``libbench2/timer.c:101-116``).
 
+Every config is VERIFIED on the chip before it is timed (the ``bench -y``
+analog, ``fftw/libbench2/verify-dft.c``): a small slice is transformed and
+compared against a NumPy float64 oracle, and the max relative error is
+reported next to the GFLOPS number.  This catches Mosaic miscompiles that
+CPU interpret-mode tests cannot.
+
 ``vs_baseline`` is the fraction of the single-pass HBM-bandwidth roofline
 (the BASELINE.md north-star: >=80% of the 5N*log2N roofline per chip):
 an out-of-place c2c at minimum moves 16 bytes/point, so
@@ -19,6 +25,10 @@ import sys
 import time
 
 import numpy as np
+
+#: verify tolerance on the chip (bf16x3 kernels measure ~1e-5; the FFTW
+#: single contract is 1e-3, libbench2/bench-main.c:70)
+VERIFY_TOL = 1e-3
 
 
 def _bw_peak() -> float:
@@ -41,23 +51,45 @@ def _timers():
     return timing.time_chained, timing.time_dispatched
 
 
-def bench_c2c_1d(n: int, batch: int):
+def _relerr(actual: np.ndarray, ref: np.ndarray) -> float:
+    return float(np.max(np.abs(actual - ref)) / np.max(np.abs(ref)))
+
+
+def _check(relerr: float, what: str, tol: float = VERIFY_TOL) -> float:
+    if not (relerr < tol):
+        raise AssertionError(
+            f"ON-CHIP VERIFY FAILED for {what}: rel err {relerr:.2e} >= "
+            f"{tol:g} (likely Mosaic miscompile)")
+    return relerr
+
+
+def bench_c2c_1d(n: int, batch: int, dtype="complex64"):
     import jax
     import jax.numpy as jnp
 
     import fftw3_tpu as ftpu
 
-    plan = ftpu.plan_many_dft([n], howmany=batch, dtype="complex64")
+    rdt = jnp.float64 if dtype == "complex128" else jnp.float32
+    plan = ftpu.plan_many_dft([n], howmany=batch, dtype=dtype)
     rng = np.random.default_rng(0)
-    xr = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
-    xi = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
-
     run = jax.jit(plan.apply_split)
 
+    # -- verify on the chip before timing (bench -y analog) --
+    vb = min(batch, 128)
+    vr = rng.standard_normal((vb, n)).astype(rdt)
+    vi = rng.standard_normal((vb, n)).astype(rdt)
+    yr, yi = jax.jit(plan.apply_split)(vr, vi)
+    ref = np.fft.fft((vr + 1j * vi).astype(np.complex128), axis=1)
+    relerr = _check(_relerr(np.asarray(yr) + 1j * np.asarray(yi), ref),
+                    f"c2c n={n} {dtype}",
+                    1e-10 if dtype == "complex128" else VERIFY_TOL)
+
+    xr = jnp.asarray(rng.standard_normal((batch, n)), rdt)
+    xi = jnp.asarray(rng.standard_normal((batch, n)), rdt)
     time_chained, _ = _timers()
     t = time_chained(run, (xr, xi))
     flops = 5.0 * n * np.log2(n) * batch
-    return flops / t, t, repr(plan)
+    return flops / t, t, repr(plan), relerr
 
 
 def bench_c2c_3d(n: int):
@@ -68,14 +100,20 @@ def bench_c2c_3d(n: int):
 
     plan = ftpu.plan_dft((n, n, n), dtype="complex64")
     rng = np.random.default_rng(0)
+    run = jax.jit(plan.apply_split)
+
     xr = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
     xi = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
-    run = jax.jit(plan.apply_split)
+    yr, yi = run(xr, xi)
+    ref = np.fft.fftn((np.asarray(xr) + 1j * np.asarray(xi))
+                      .astype(np.complex128))
+    relerr = _check(_relerr(np.asarray(yr) + 1j * np.asarray(yi), ref),
+                    f"c2c 3d {n}^3")
 
     time_chained, _ = _timers()
     t = time_chained(run, (xr, xi))
     flops = 5.0 * (n ** 3) * np.log2(float(n) ** 3)
-    return flops / t, t, repr(plan)
+    return flops / t, t, repr(plan), relerr
 
 
 def bench_r2c_2d(n: int, batch: int = 8):
@@ -95,10 +133,16 @@ def bench_r2c_2d(n: int, batch: int = 8):
         y = plan.apply(a)
         return jnp.real(y), jnp.imag(y)
 
+    yr, yi = run(x)
+    ref = np.fft.rfftn(np.asarray(x[:1]).astype(np.float64), axes=(1, 2))
+    relerr = _check(
+        _relerr(np.asarray(yr[:1]) + 1j * np.asarray(yi[:1]), ref),
+        f"r2c 2d {n}^2")
+
     _, time_dispatched = _timers()
     t = time_dispatched(run, (x,))
     flops = 2.5 * (n * n) * np.log2(float(n) * n) * batch
-    return flops / t, t, repr(plan)
+    return flops / t, t, repr(plan), relerr
 
 
 def bench_dct2(n: int, batch: int):
@@ -111,17 +155,25 @@ def bench_dct2(n: int, batch: int):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
     run = jax.jit(plan.apply)
+
+    y = np.asarray(run(x)[:64])
+    # FFTW REDFT10: X[k] = 2 sum_j x[j] cos(pi(j+1/2)k/n)
+    j = np.arange(n)[:, None]
+    k = np.arange(n)[None, :]
+    M = 2.0 * np.cos(np.pi * (j + 0.5) * k / n)
+    ref = np.asarray(x[:64]).astype(np.float64) @ M
+    relerr = _check(_relerr(y, ref), f"dct2 n={n}")
+
     time_chained, _ = _timers()
     t = time_chained(lambda a: (run(a),), (x,))
     flops = 2.5 * n * np.log2(float(n)) * batch
-    return flops / t, t, repr(plan)
+    return flops / t, t, repr(plan), relerr
 
 
 def _with_retries(fn, attempts: int = 3):
     """The remote-TPU compile service occasionally returns transient HTTP
-    500s; retry, then retry with the Pallas tier disabled (the XLA path
+     500s; retry, then retry with the Pallas tier disabled (the XLA path
     always compiles) so the driver ALWAYS gets a metric."""
-    import fftw3_tpu
     from fftw3_tpu import config
 
     last = None
@@ -147,6 +199,15 @@ def fftpu_forget():
     fftw3_tpu.forget_wisdom()
 
 
+def _bench_f64_1024():
+    """BASELINE config #1 (`ocf1024`): 1-D c2c n=1024 DOUBLE.  f64 rides
+    XLA's software emulation on TPU (no native f64 MXU); modest batch —
+    emulated f64 is ~20x slower than f32."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    return bench_c2c_1d(1024, 512, dtype="complex128")
+
+
 def main():
     quick = "--quick" in sys.argv
     suite = "--suite" in sys.argv
@@ -156,10 +217,10 @@ def main():
     # driver measures through a remote-TPU tunnel with ~0.3 ms floor);
     # 64 Mi points of work puts device time well above that floor.
     n, batch = 1024, (256 if quick else 65536)
-    gf, t, desc = _with_retries(lambda: bench_c2c_1d(n, batch))
+    gf, t, desc, re0 = _with_retries(lambda: bench_c2c_1d(n, batch))
     roofline = 5.0 * np.log2(n) * (bw / 16.0)
     details = {"c2c_1d_1024_b%d" % batch:
-               {"gflops": gf / 1e9, "sec": t, "plan": desc}}
+               {"gflops": gf / 1e9, "sec": t, "plan": desc, "relerr": re0}}
 
     if suite:
         for name, fn in [("c2c_3d_256", lambda: bench_c2c_3d(256)),
@@ -168,15 +229,17 @@ def main():
                          ("c2c_1d_1000_b32768",
                           lambda: bench_c2c_1d(1000, 32768)),
                          ("r2c_2d_2048", lambda: bench_r2c_2d(2048)),
-                         ("dct2_512_b65536", lambda: bench_dct2(512, 65536))]:
+                         ("dct2_512_b65536", lambda: bench_dct2(512, 65536)),
+                         ("c2c_1d_1024_f64_b512", _bench_f64_1024)]:
             try:
-                g2, t2, d2 = _with_retries(fn, attempts=2)
+                g2, t2, d2, rel = _with_retries(fn, attempts=2)
             except Exception as exc:                   # noqa: BLE001
                 print(f"# {name}: FAILED {exc}", file=sys.stderr)
                 continue
-            details[name] = {"gflops": g2 / 1e9, "sec": t2, "plan": d2}
-            print(f"# {name}: {g2/1e9:.1f} GFLOPS ({t2*1e6:.0f} us) {d2}",
-                  file=sys.stderr)
+            details[name] = {"gflops": g2 / 1e9, "sec": t2, "plan": d2,
+                             "relerr": rel}
+            print(f"# {name}: {g2/1e9:.1f} GFLOPS ({t2*1e6:.0f} us) "
+                  f"relerr={rel:.1e} {d2}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "c2c_1d_n1024_batched_gflops",
@@ -185,8 +248,10 @@ def main():
         "vs_baseline": round(gf / roofline, 4),
     }))
     for k, v in details.items():
-        print(f"# {k}: {v['gflops']:.1f} GFLOPS ({v['sec']*1e6:.0f} us)",
-              file=sys.stderr)
+        print(f"# {k}: {v['gflops']:.1f} GFLOPS ({v['sec']*1e6:.0f} us) "
+              f"relerr={v['relerr']:.1e}", file=sys.stderr)
+    from fftw3_tpu.planner import the_planner
+    print(f"# planner stats: {the_planner.stats}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -424,29 +424,39 @@ def _r2r_1axis(x, kind: Kind, axis, norm, logical_n):
     axis = axis % x.ndim
     p = _cached_plan("r2r", tuple(x.shape), (axis,), FORWARD, str(x.dtype),
                      (kind.value,))
-    y = p.apply(x)
-    if norm == "ortho":
-        raise NotImplementedError("use norm=None (FFTW convention) for now")
-    return y
+    return p.apply(x)
 
 
 def dct(x, type: int = 2, axis: int = -1, norm=None):
-    """scipy-compatible DCT (norm=None == FFTW unnormalized convention)."""
-    kind = _DCT_KINDS[type]
-    return _r2r_1axis(x, kind, axis, norm, None)
+    """scipy-compatible DCT (norm=None == FFTW unnormalized convention;
+    "ortho"/"forward" delegate to the scipy-norm layer)."""
+    if norm is not None:
+        from .interfaces import scipy_fft
+        return scipy_fft.dct(x, type, None, axis, norm)
+    return _r2r_1axis(x, _DCT_KINDS[type], axis, None, None)
 
 
 def idct(x, type: int = 2, axis: int = -1, norm=None):
-    """Unnormalized inverse: idct(dct(x)) == 2*n*x (FFTW semantics)."""
-    return dct(x, _IDCT_TYPE[type], axis, norm)
+    """With norm=None, the unnormalized inverse: idct(dct(x)) == 2*n*x
+    (FFTW semantics); "ortho" is the scipy orthonormal inverse."""
+    if norm is not None:
+        from .interfaces import scipy_fft
+        return scipy_fft.idct(x, type, None, axis, norm)
+    return dct(x, _IDCT_TYPE[type], axis, None)
 
 
 def dst(x, type: int = 2, axis: int = -1, norm=None):
-    return _r2r_1axis(x, _DST_KINDS[type], axis, norm, None)
+    if norm is not None:
+        from .interfaces import scipy_fft
+        return scipy_fft.dst(x, type, None, axis, norm)
+    return _r2r_1axis(x, _DST_KINDS[type], axis, None, None)
 
 
 def idst(x, type: int = 2, axis: int = -1, norm=None):
-    return dst(x, _IDCT_TYPE[type], axis, norm)
+    if norm is not None:
+        from .interfaces import scipy_fft
+        return scipy_fft.idst(x, type, None, axis, norm)
+    return dst(x, _IDCT_TYPE[type], axis, None)
 
 
 def dht(x, axis: int = -1):

@@ -30,6 +30,11 @@ pallas_matmul: str = "bf16x3"
 #: native C++ tier when the shared library is available (fftw3_tpu/native.py)
 use_native: bool = True
 
+#: MEASURE-mode problem sizing: total points per timing array.  Large
+#: enough that device time per dispatch rises above the tunnel's ~0.3 ms
+#: dispatch floor; tests drop it to keep interpret-mode timing cheap.
+measure_points: int = 1 << 23
+
 
 def precision():
     return {"highest": jax.lax.Precision.HIGHEST,

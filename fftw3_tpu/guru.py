@@ -85,6 +85,7 @@ class StridedGuruPlan:
         self.in_shape = tuple(sizes)
         self.out_shape = plan.out_shape
         self.problem = plan.problem
+        self._jitted = None            # cached jit (no per-call retrace)
 
     @property
     def apply(self):
@@ -97,8 +98,9 @@ class StridedGuruPlan:
 
     def execute(self, flat, offset: int = 0):
         import jax
-        return jax.jit(self.apply, static_argnums=())(jnp.asarray(flat),
-                                                      offset)
+        if self._jitted is None:
+            self._jitted = jax.jit(self.apply)
+        return self._jitted(jnp.asarray(flat), offset)
 
     __call__ = execute
 
@@ -168,6 +170,7 @@ class SplitPlan:
         self.in_shape = plan.in_shape
         self.out_shape = plan.out_shape
         self.problem = plan.problem
+        self._jitted = None            # cached jit (no per-call retrace)
 
     @property
     def apply(self):
@@ -180,7 +183,9 @@ class SplitPlan:
             raise ValueError(f"plan expects shape {self.in_shape}, "
                              f"got {ri.shape}")
         import jax
-        return jax.jit(self._plan.apply_split)(ri, ii)
+        if self._jitted is None:
+            self._jitted = jax.jit(self._plan.apply_split)
+        return self._jitted(ri, ii)
 
     def __call__(self, ri, ii):
         return self.execute(ri, ii)
@@ -337,7 +342,13 @@ def execute_split_dft(plan, ri, ii):
     if plan.problem.kind != "c2c":
         raise ValueError("execute_split_dft requires a c2c plan")
     import jax
-    return jax.jit(plan.apply_split)(jnp.asarray(ri), jnp.asarray(ii))
+    # cache the jitted split apply on the plan (one trace per plan, like
+    # Plan.execute; a bare jax.jit here would retrace every call)
+    fn = getattr(plan, "_jitted_split", None)
+    if fn is None:
+        fn = jax.jit(plan.apply_split)
+        plan._jitted_split = fn
+    return fn(jnp.asarray(ri), jnp.asarray(ii))
 
 
 def execute_dft_r2c(plan, x):
@@ -366,12 +377,15 @@ class SplitR2CPlan:
         self._plan = plan
         self.in_shape = plan.in_shape
         self.problem = plan.problem
+        self._jitted = None            # cached jit (no per-call retrace)
 
     def execute(self, x):
         import jax
-        fn = jax.jit(lambda a: (lambda y: (jnp.real(y), jnp.imag(y)))(
-            self._plan.apply(a)))
-        return fn(jnp.asarray(x))
+        if self._jitted is None:
+            self._jitted = jax.jit(
+                lambda a: (lambda y: (jnp.real(y), jnp.imag(y)))(
+                    self._plan.apply(a)))
+        return self._jitted(jnp.asarray(x))
 
     __call__ = execute
 
@@ -384,11 +398,13 @@ class SplitC2RPlan:
         self._plan = plan
         self.in_shape = plan.in_shape
         self.problem = plan.problem
+        self._jitted = None            # cached jit (no per-call retrace)
 
     def execute(self, ri, ii):
         import jax
-        fn = jax.jit(lambda a, b: self._plan.apply(a + 1j * b))
-        return fn(jnp.asarray(ri), jnp.asarray(ii))
+        if self._jitted is None:
+            self._jitted = jax.jit(lambda a, b: self._plan.apply(a + 1j * b))
+        return self._jitted(jnp.asarray(ri), jnp.asarray(ii))
 
     __call__ = execute
 

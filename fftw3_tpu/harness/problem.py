@@ -14,11 +14,13 @@ engine has no aliasing, so this only annotates the problem), ``d`` may
 destroy input (no-op), ``/`` split re/im arrays (no-op: JAX arrays are
 logical), ``r`` real (r2c forward / c2r backward), ``c`` complex, ``k`` r2r,
 ``f``/``-`` forward, ``b``/``+`` backward, ``t`` transposed I/O layout.
-Explicit strides describe *physical* CPU layouts and have no logical-array
-analog; non-default strides raise :class:`UnsupportedProblem`.
+Explicit strides equal to the contiguous row-major default are accepted
+(they are expressible on logical arrays); any other stride describes a
+*physical* CPU layout and raises :class:`UnsupportedProblem`.
 
 Examples: ``c1024``, ``ib256``, ``32x64``, ``ocf1024``, ``r2048x2048``,
-``ke10x512v4096`` (batched DCT-II), ``c1024v64``.
+``k512e10v4096`` (batched DCT-II; kind codes follow the size),
+``c1024v64``.
 """
 from __future__ import annotations
 
@@ -102,17 +104,16 @@ def _parse_int(s: str, pos: int) -> Tuple[int, int]:
 
 def _parse_tensor(s: str, pos: int, want_kinds: bool):
     """Parse INT[KIND][:is[:os]] ('x' ...)* -> (sizes, kinds, pos)."""
-    sizes, kinds = [], []
+    sizes, kinds, strides = [], [], []
     while True:
         n, pos = _parse_int(s, pos)
         sizes.append(n)
         if pos < len(s) and s[pos] == ":":
-            _, pos = _parse_int(s, pos + 1)
+            ist, pos = _parse_int(s, pos + 1)
+            ost = ist
             if pos < len(s) and s[pos] == ":":
-                _, pos = _parse_int(s, pos + 1)
-            raise UnsupportedProblem(
-                "explicit strides describe physical CPU layouts; express "
-                "layout with array shape/axes instead")
+                ost, pos = _parse_int(s, pos + 1)
+            strides.append((len(sizes) - 1, ist, ost))
         kind = K.Kind.R2HC
         if pos < len(s):
             c = s[pos].lower()
@@ -129,6 +130,17 @@ def _parse_tensor(s: str, pos: int, want_kinds: bool):
             pos += 1
             continue
         break
+    if strides:
+        # contiguous row-major defaults ARE expressible on logical arrays;
+        # anything else describes a physical CPU layout we reject
+        default = [1] * len(sizes)
+        for i in range(len(sizes) - 2, -1, -1):
+            default[i] = default[i + 1] * sizes[i + 1]
+        for ax, ist, ost in strides:
+            if ist != default[ax] or ost != default[ax]:
+                raise UnsupportedProblem(
+                    "non-contiguous explicit strides describe physical CPU "
+                    "layouts; express layout with array shape/axes instead")
     return tuple(sizes), tuple(kinds), pos
 
 

@@ -73,54 +73,53 @@ def lowpass_transfer(shape: Sequence[int], cutoff: float) -> np.ndarray:
 
 
 def distributed_filter_step(mesh, shape: Sequence[int],
-                            axis_name: str = "x", lr: float = 1e-2):
+                            axis_name: str = "x", lr: float = 1e-2,
+                            transpose_method: str = "all_to_all",
+                            dp_axis: Optional[str] = None):
     """Build a jitted distributed training step for a learnable spectral
     filter: forward = sharded 3-D FFT -> pointwise H -> inverse FFT;
     loss = reconstruction MSE; returns (step_fn, h0, in_sharding).
 
-    This is the flagship multi-chip model: data-parallel batch is the
-    leading dim, the FFT axis 1 is sharded over `axis_name` with
-    all_to_all global transposes, gradients psum over the mesh.
+    This is the flagship multi-chip model, and it consumes the engine's
+    *distributed plans* (``parallel.plan_dft_dist``) — the only way users
+    consume the MPI tier in the reference (``fftw/mpi/api.c:592``).  The
+    FFT axis 1 is slab-sharded over ``axis_name`` (global transposes via
+    `transpose_method`, "measure" = planner-timed); with ``dp_axis`` the
+    leading batch dim is data-parallel over a second mesh axis, composed
+    through the plan's ``vector_shardings``.  Gradients flow through the
+    plans' shard_map collectives (custom-VJP'd kernels underneath).
     """
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
-    from ..ops import c2c as c2c_ops
-    from ..planner import the_planner
+    from ..parallel import dist
 
     B = shape[0]
     N = shape[1]
-    fwd1d = c2c_ops.build_c2c(the_planner.plan_c2c(N, np.float32, 0), -1,
-                              np.float32)
-    bwd1d = c2c_ops.build_c2c(the_planner.plan_c2c(N, np.float32, 0), +1,
-                              np.float32)
-
-    def fftn_local(x, fn):
-        for ax in (2, 3):
-            x = jnp.moveaxis(fn(jnp.moveaxis(x, ax, -1)), -1, ax)
-        x = jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1,
-                               tiled=True)
-        x = jnp.moveaxis(fn(jnp.moveaxis(x, 1, -1)), -1, 1)
-        return jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2,
-                                  tiled=True)
-
-    def local_step(h, xr, xi):
-        x = xr + 1j * xi
-        y = fftn_local(x, fwd1d) * h
-        z = fftn_local(y, bwd1d) / (N ** 3)
-        loss = jnp.mean(jnp.abs(z - x) ** 2)
-        return jax.lax.pmean(loss, axis_name)
+    full = (B, N, N, N)
+    vecsh = {0: dp_axis} if dp_axis else None
+    fwd = dist.plan_dft_dist(full, mesh, axis_name, axes=(1, 2, 3),
+                             sign=-1, shard_axis=1,
+                             transpose_method=transpose_method,
+                             vector_shardings=vecsh)
+    bwd = dist.plan_dft_dist(full, mesh, axis_name, axes=(1, 2, 3),
+                             sign=+1, shard_axis=1,
+                             transpose_method=transpose_method,
+                             vector_shardings=vecsh)
 
     h_spec = P(None, axis_name, None, None)
-    x_spec = P(None, axis_name, None, None)
-    smapped = jax.shard_map(local_step, mesh=mesh,
-                            in_specs=(h_spec, x_spec, x_spec), out_specs=P())
+
+    def loss_fn(h, xr, xi):
+        x = xr + 1j * xi            # complex only inside the jit boundary
+        y = fwd.apply(x) * h        # DistPlan on the executed (+grad) path
+        z = bwd.apply(y) / (N ** 3)
+        return jnp.mean(jnp.abs(z - x) ** 2)
 
     @jax.jit
     def step(h, xr, xi):
-        loss, g = jax.value_and_grad(lambda hh: smapped(hh, xr, xi))(h)
+        loss, g = jax.value_and_grad(loss_fn)(h, xr, xi)
         return h - lr * g, loss
 
     h0 = jax.device_put(np.ones((1, N, N, N), np.float32),
                         NamedSharding(mesh, h_spec))
-    return step, h0, NamedSharding(mesh, x_spec)
+    return step, h0, fwd.input_sharding()

@@ -30,7 +30,7 @@ broadcast_wisdom`` analog: host 0 plans, others import).
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -165,7 +165,21 @@ def measure_transpose_method(mesh: Mesh, axis_name: str,
             continue
         if t < best_t:
             best, best_t = m, t
-    return best
+    return _sync_choice(best, list(methods))
+
+
+def _sync_choice(choice: str, methods: Sequence[str]) -> str:
+    """Multi-process meshes must agree on the plan: near-tied timings can
+    rank differently per host, and divergent shard_map programs
+    (all_to_all on one host, ppermute on another) hang the collective.
+    Broadcast process 0's choice (the wisdom-vote idea of mpi/api.c:60-130:
+    all ranks fail/choose together)."""
+    if jax.process_count() == 1:
+        return choice
+    from jax.experimental import multihost_utils
+    idx = int(multihost_utils.broadcast_one_to_all(
+        np.int32(list(methods).index(choice))))
+    return list(methods)[idx]
 
 
 def _resolve_transpose(method: str, mesh: Mesh, axis_name: str,
@@ -178,6 +192,27 @@ def _resolve_transpose(method: str, mesh: Mesh, axis_name: str,
         local = (max(nproc, shape[0] // nproc),) + tuple(shape[1:])
         method = measure_transpose_method(mesh, axis_name, local, dtype)
     return _TRANSPOSE_IMPLS[method]
+
+
+def _spec_with_vectors(ndim: int, main_dim: Optional[int], axis_name: str,
+                       vector_shardings) -> P:
+    """PartitionSpec with the transform shard axis plus caller-requested
+    shardings of *vector* (batch) dims over other mesh axes — the TPU-native
+    generalization FFTW-MPI lacks: data-parallel batch composes freely with
+    the transform decomposition because vector dims never enter the global
+    transposes."""
+    names = [None] * ndim
+    if main_dim is not None:
+        names[main_dim] = axis_name
+    for d, nm in (vector_shardings or {}).items():
+        d = int(d) % ndim
+        if names[d] is not None:
+            raise ValueError(f"dim {d} already sharded over {names[d]!r}")
+        if nm == axis_name:
+            raise ValueError("vector dims must use a different mesh axis "
+                             "than the transform decomposition")
+        names[d] = nm
+    return P(*names)
 
 
 class DistPlan:
@@ -216,7 +251,9 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
                   transposed_out: bool = False, flags: int = K.ESTIMATE,
                   dtype="complex64",
                   transpose_method: str = "all_to_all",
-                  overlap_chunks: int = 1) -> DistPlan:
+                  overlap_chunks: Optional[int] = None,
+                  vector_shardings: Optional[Dict[int, str]] = None
+                  ) -> DistPlan:
     """Slab-decomposed distributed c2c DFT, rank >= 1.
 
     `shape` is the global array shape; the array is sharded along
@@ -231,8 +268,13 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
     scheduler can run chunk k+1's all_to_all on the ICI while chunk k's
     local FFT occupies the compute units.  (The reference never overlapped
     — ``mpi/transpose-pairwise.c:53`` leaves it as a TODO; SURVEY.md §7
-    hard-part 4 requires it for weak-scaling targets.)
+    hard-part 4 requires it for weak-scaling targets.)  The default is the
+    ``threads.plan_with_nthreads`` hint (fftw_plan_with_nthreads analog:
+    the user's declared intra-plan parallelism becomes pipeline depth).
     """
+    if overlap_chunks is None:
+        from .. import threads
+        overlap_chunks = max(1, threads.planner_nthreads())
     shape = tuple(shape)
     ndim = len(shape)
     axes = tuple(a % ndim for a in
@@ -247,8 +289,13 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
                                    axis_name, shape,
                                    np.complex64)
 
-    in_spec = P(*[axis_name if i == shard_axis else None
-                  for i in range(ndim)])
+    if vector_shardings:
+        for d in vector_shardings:
+            if int(d) % ndim in axes:
+                raise ValueError("vector_shardings must name non-transform "
+                                 f"dims; dim {d} is a transform axis")
+    in_spec = _spec_with_vectors(ndim, shard_axis, axis_name,
+                                 vector_shardings)
 
     if shard_axis not in axes:
         # batch-sharded: all transform axes local (dft-rank1-bigvec analog)
@@ -320,8 +367,8 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
                                axis=chunk_axis)
 
     out_axis = swap if transposed_out else shard_axis
-    out_spec = P(*[axis_name if i == out_axis else None
-                   for i in range(ndim)])
+    out_spec = _spec_with_vectors(ndim, out_axis, axis_name,
+                                  vector_shardings)
     return DistPlan(local_fn, mesh, in_spec, out_spec, shape,
                     f"slab[{transpose_method}]"
                     + ("-transposed_out" if transposed_out else ""))
@@ -480,6 +527,25 @@ def local_size_many(n: Sequence[int], howmany: int, block0: Optional[int],
     b = block0 or default_block(n0, nproc)
     start = min(rank * b, n0)
     return min(b, n0 - start), start
+
+
+def alloc_local(n: Sequence[int], nproc: int, rank: int, howmany: int = 1,
+                transposed: bool = False) -> int:
+    """FFTW's alloc_local return value: elements this rank must hold for an
+    array of global shape `n` block-distributed over axis 0 (and, with
+    ``transposed``, the max against the axis-1-distributed output layout,
+    like fftw_mpi_local_size_*_transposed, mpi/api.c:248-510).  XLA
+    allocates for logical arrays, so this is an oracle for parity and for
+    sizing host staging buffers, not an allocation contract."""
+    n = tuple(int(v) for v in n)
+    rest = int(np.prod(n[1:], dtype=np.int64)) if len(n) > 1 else 1
+    a_in = local_size_1d(n[0], nproc, rank)[0] * rest
+    if transposed and len(n) > 1:
+        rest_t = (n[0] * int(np.prod(n[2:], dtype=np.int64))
+                  if len(n) > 2 else n[0])
+        a_out = local_size_1d(n[1], nproc, rank)[0] * rest_t
+        a_in = max(a_in, a_out)
+    return a_in * howmany
 
 
 # ---------------------------------------------------------------------------

@@ -199,6 +199,11 @@ def make_plan(problem: Problem, flags: int = K.ESTIMATE,
     descriptors: Dict[int, Dict] = {}
     stages = []  # callables composed left-to-right
     in_shape = shape
+    npoints = int(np.prod(shape)) if shape else 1
+
+    def _vec(a):
+        # vector size seen by the axis-a pass: everything except axis a
+        return max(1, npoints // max(shape[a], 1))
 
     if problem.kind == "c2c":
         # split-complex through the whole multi-axis pipeline: one
@@ -213,8 +218,10 @@ def make_plan(problem: Problem, flags: int = K.ESTIMATE,
         if (len(rest_axes) >= 2 and rest_axes[-2:] == [nd - 2, nd - 1]
                 and pallas_stockham.applicable_2d(shape[nd - 2],
                                                   shape[nd - 1], rdtype)):
-            d1 = pl.plan_c2c(shape[nd - 2], rdtype, patience)
-            d2 = pl.plan_c2c(shape[nd - 1], rdtype, patience)
+            d1 = pl.plan_c2c(shape[nd - 2], rdtype, patience,
+                             batch=_vec(nd - 2))
+            d2 = pl.plan_c2c(shape[nd - 1], rdtype, patience,
+                             batch=_vec(nd - 1))
             if d1.get("alg") == "pallas" and d2.get("alg") == "pallas":
                 descriptors[nd - 2] = d1
                 descriptors[nd - 1] = d2
@@ -227,7 +234,7 @@ def make_plan(problem: Problem, flags: int = K.ESTIMATE,
         else:
             trailing2d = None
         for a in rest_axes:
-            desc = pl.plan_c2c(shape[a], rdtype, patience)
+            desc = pl.plan_c2c(shape[a], rdtype, patience, batch=_vec(a))
             descriptors[a] = desc
             split_stages.append(
                 _c2c_stage(desc, problem.sign, rdtype, a, shape))
@@ -249,13 +256,13 @@ def make_plan(problem: Problem, flags: int = K.ESTIMATE,
     elif problem.kind == "r2c":
         last = axes[-1]
         n_last = shape[last]
-        desc = pl.plan_r2c(n_last, rdtype, patience)
+        desc = pl.plan_r2c(n_last, rdtype, patience, batch=_vec(last))
         descriptors[last] = desc
         nd = len(shape)
         stages.append(_along_axis(real_ops.build_r2c(desc, rdtype),
                                   last - nd))
         for a in axes[:-1]:
-            d = pl.plan_c2c(shape[a], rdtype, patience)
+            d = pl.plan_c2c(shape[a], rdtype, patience, batch=_vec(a))
             descriptors[a] = d
             stages.append(_along_axis(
                 c2c_ops.build_c2c(d, K.FORWARD, rdtype), a - nd))
@@ -269,11 +276,11 @@ def make_plan(problem: Problem, flags: int = K.ESTIMATE,
         n_last = shape[last]
         nd = len(shape)
         for a in axes[:-1]:
-            d = pl.plan_c2c(shape[a], rdtype, patience)
+            d = pl.plan_c2c(shape[a], rdtype, patience, batch=_vec(a))
             descriptors[a] = d
             stages.append(_along_axis(
                 c2c_ops.build_c2c(d, K.BACKWARD, rdtype), a - nd))
-        desc = pl.plan_c2r(n_last, rdtype, patience)
+        desc = pl.plan_c2r(n_last, rdtype, patience, batch=_vec(last))
         descriptors[last] = desc
         stages.append(_along_axis(real_ops.build_c2r(desc, rdtype),
                                   last - nd))
@@ -285,7 +292,8 @@ def make_plan(problem: Problem, flags: int = K.ESTIMATE,
     elif problem.kind == "r2r":
         nd = len(shape)
         for a, kind in zip(axes, problem.r2r_kinds):
-            desc = pl.plan_r2r(kind, shape[a], rdtype, patience)
+            desc = pl.plan_r2r(kind, shape[a], rdtype, patience,
+                               batch=_vec(a))
             descriptors[a] = desc
             stages.append(_along_axis(r2r_ops.build_r2r(desc, rdtype),
                                       a - nd))

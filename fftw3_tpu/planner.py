@@ -145,35 +145,56 @@ class Planner:
         #: the product; flip on to sanity-check against the platform).
         self.allow_xla = False
         self._measure_t0: float = 0.0
-        self.stats = {"nplan": 0, "nmeasure": 0, "nwisdom_hit": 0}
+        self.stats = {"nplan": 0, "nmeasure": 0, "nwisdom_hit": 0,
+                      "nmeasure_failed": 0}
         #: hook called with (key, desc, cost) on every planned subproblem —
         #: the instrumentation point used by paranoid verification
         #: (planner->hook analog, fftw/fftw_api.h:865-867).
         self.hook: Optional[Callable[[str, Dict, float], None]] = None
 
     # -- wisdom keys ------------------------------------------------------
-    def _key(self, kind: str, n: int, rdtype) -> str:
+    def _key(self, kind: str, n: int, rdtype,
+             batch: Optional[int] = None) -> str:
         dev = _device_signature()
-        return f"{kind}:{n}:{np.dtype(rdtype).name}:{dev}"
+        return (f"{kind}:{n}:{np.dtype(rdtype).name}:{dev}"
+                f":b{_batch_bucket(batch)}")
 
     # -- public entry points ----------------------------------------------
-    def plan_c2c(self, n: int, rdtype, patience: int) -> Dict:
-        return self._plan("c2c", n, rdtype, patience)
+    # `batch` is the number of independent transforms per call (the vector
+    # tensor of the problem).  FFTW hashes it into the wisdom key
+    # (md5hash(problem,...), fftw/fftw_api.c:14858); on TPU the best alg
+    # genuinely depends on it (tile occupancy), so MEASURE times at the
+    # caller's batch and wisdom is bucketed by it (powers of 4).
+    def plan_c2c(self, n: int, rdtype, patience: int,
+                 batch: Optional[int] = None) -> Dict:
+        return self._plan("c2c", n, rdtype, patience, batch)
 
-    def plan_r2c(self, n: int, rdtype, patience: int) -> Dict:
-        return self._plan("r2c", n, rdtype, patience)
+    def plan_r2c(self, n: int, rdtype, patience: int,
+                 batch: Optional[int] = None) -> Dict:
+        return self._plan("r2c", n, rdtype, patience, batch)
 
-    def plan_c2r(self, n: int, rdtype, patience: int) -> Dict:
-        return self._plan("c2r", n, rdtype, patience)
+    def plan_c2r(self, n: int, rdtype, patience: int,
+                 batch: Optional[int] = None) -> Dict:
+        return self._plan("c2r", n, rdtype, patience, batch)
 
-    def plan_r2r(self, kind: K.Kind, n: int, rdtype, patience: int) -> Dict:
-        return self._plan(kind.value, n, rdtype, patience)
+    def plan_r2r(self, kind: K.Kind, n: int, rdtype, patience: int,
+                 batch: Optional[int] = None) -> Dict:
+        return self._plan(kind.value, n, rdtype, patience, batch)
 
     # -- core search --------------------------------------------------------
-    def _plan(self, kind: str, n: int, rdtype, patience: int) -> Dict:
-        key = self._key(kind, n, rdtype)
+    def _plan(self, kind: str, n: int, rdtype, patience: int,
+              batch: Optional[int] = None) -> Dict:
+        key = self._key(kind, n, rdtype, batch)
         hit = self.wisdom.get(key)
-        if hit is not None and hit["patience"] >= patience:
+        # .get + isinstance: an imported entry may lack 'patience' or not
+        # even be a dict (import_wisdom takes entries unvalidated) —
+        # malformed wisdom falls through to the recovery rung, not KeyError
+        if not isinstance(hit, dict):
+            if hit is not None:
+                del self.wisdom[key]
+                self.stats["nbogus"] = self.stats.get("nbogus", 0) + 1
+            hit = None
+        if hit is not None and hit.get("patience", -1) >= patience:
             # wisdom-bogosity recovery rung 1 (fftw_api.c:283-315): a
             # structurally invalid entry (corrupt import, stale key) is
             # dropped and planning falls through to a fresh search
@@ -195,7 +216,7 @@ class Planner:
                 if self.hook is not None:
                     self.hook(key, desc, cost)
                 return desc
-        cands = self._candidates(kind, n, rdtype, patience)
+        cands = self._candidates(kind, n, rdtype, patience, batch)
         if not cands:
             raise ValueError(f"no applicable solver for {kind} n={n}")
         if patience == K.PATIENCE_ESTIMATE or len(cands) == 1:
@@ -204,7 +225,7 @@ class Planner:
             self.stats["epcost"] = self.stats.get("epcost", 0.0) + cost
         else:
             self._measure_t0 = time.perf_counter()
-            best, cost = self._measure_best(kind, n, rdtype, cands)
+            best, cost = self._measure_best(kind, n, rdtype, cands, batch)
         # planner counters (nplan/pcost/epcost, fftw/fftw_api.h:896-900)
         self.stats["pcost"] = self.stats.get("pcost", 0.0) + cost
         self.wisdom[key] = {"desc": best, "patience": patience, "cost": cost}
@@ -227,9 +248,9 @@ class Planner:
         return native.plan_c2c(n, patience, allow, self.hw)
 
     def _candidates(self, kind: str, n: int, rdtype,
-                    patience: int) -> List[Dict]:
+                    patience: int, batch: Optional[int] = None) -> List[Dict]:
         if kind == "c2c":
-            return self._candidates_c2c(n, rdtype, patience)
+            return self._candidates_c2c(n, rdtype, patience, batch)
         if kind == "r2c":
             out = []
             from .ops import pallas_stockham
@@ -241,9 +262,9 @@ class Planner:
                 out.append({"alg": "r2c_dense", "n": n})
             if n % 2 == 0 and n > 2:
                 out.append({"alg": "r2c_pack", "n": n,
-                            "child": self.plan_c2c(n // 2, rdtype, patience)})
+                            "child": self.plan_c2c(n // 2, rdtype, patience, batch)})
             out.append({"alg": "r2c_via_c2c", "n": n,
-                        "child": self.plan_c2c(n, rdtype, patience)})
+                        "child": self.plan_c2c(n, rdtype, patience, batch)})
             return out
         if kind == "c2r":
             out = []
@@ -256,53 +277,54 @@ class Planner:
                 out.append({"alg": "c2r_dense", "n": n})
             if n % 2 == 0 and n > 2:
                 out.append({"alg": "c2r_pack", "n": n,
-                            "child": self.plan_c2c(n // 2, rdtype, patience)})
+                            "child": self.plan_c2c(n // 2, rdtype, patience, batch)})
             out.append({"alg": "c2r_via_c2c", "n": n,
-                        "child": self.plan_c2c(n, rdtype, patience)})
+                        "child": self.plan_c2c(n, rdtype, patience, batch)})
             return out
         # ---- r2r kinds ----
         out = []
         if kind == "dht":
             out.append({"alg": "dht_via_r2c", "n": n,
-                        "child": self.plan_r2c(n, rdtype, patience)})
+                        "child": self.plan_r2c(n, rdtype, patience, batch)})
         elif kind == "r2hc":
             out.append({"alg": "r2hc_via_r2c", "n": n,
-                        "child": self.plan_r2c(n, rdtype, patience)})
+                        "child": self.plan_r2c(n, rdtype, patience, batch)})
         elif kind == "hc2r":
             out.append({"alg": "hc2r_via_c2r", "n": n,
-                        "child": self.plan_c2r(n, rdtype, patience)})
+                        "child": self.plan_c2r(n, rdtype, patience, batch)})
         elif kind == "redft10":
             out.append({"alg": "redft10_half", "n": n,
-                        "child": self.plan_r2c(n, rdtype, patience)})
+                        "child": self.plan_r2c(n, rdtype, patience, batch)})
         elif kind == "redft01":
             out.append({"alg": "redft01_half", "n": n,
-                        "child": self.plan_c2r(n, rdtype, patience)})
+                        "child": self.plan_c2r(n, rdtype, patience, batch)})
         elif kind == "redft00" and n > 1:
             out.append({"alg": "redft00_ext", "n": n,
-                        "child": self.plan_r2c(2 * (n - 1), rdtype, patience)})
+                        "child": self.plan_r2c(2 * (n - 1), rdtype, patience, batch)})
         elif kind == "rodft00":
             out.append({"alg": "rodft00_ext", "n": n,
-                        "child": self.plan_r2c(2 * (n + 1), rdtype, patience)})
+                        "child": self.plan_r2c(2 * (n + 1), rdtype, patience, batch)})
         elif kind == "redft11":
             out.append({"alg": "redft11_2n", "n": n,
-                        "child": self.plan_c2c(2 * n, rdtype, patience)})
+                        "child": self.plan_c2c(2 * n, rdtype, patience, batch)})
         elif kind == "rodft10":
             out.append({"alg": "rodft10_flip", "n": n,
                         "child": self.plan_r2r(K.Kind.REDFT10, n, rdtype,
-                                               patience)})
+                                               patience, batch)})
         elif kind == "rodft01":
             out.append({"alg": "rodft01_flip", "n": n,
                         "child": self.plan_r2r(K.Kind.REDFT01, n, rdtype,
-                                               patience)})
+                                               patience, batch)})
         elif kind == "rodft11":
             out.append({"alg": "rodft11_flip", "n": n,
                         "child": self.plan_r2r(K.Kind.REDFT11, n, rdtype,
-                                               patience)})
+                                               patience, batch)})
         if n <= R2R_GENERIC_MAX:
             out.append({"alg": "r2r_matmul", "kind": kind, "n": n})
         return out
 
-    def _candidates_c2c(self, n: int, rdtype, patience: int) -> List[Dict]:
+    def _candidates_c2c(self, n: int, rdtype, patience: int,
+                        batch: Optional[int] = None) -> List[Dict]:
         out: List[Dict] = []
         if n == 1:
             return [{"alg": "nop", "n": 1}]
@@ -311,34 +333,36 @@ class Planner:
             out.append({"alg": "direct", "n": n})
         from .ops import pallas_stockham
         if pallas_stockham.applicable(n, rdtype):
-            out.append({"alg": "pallas", "n": n,
-                        "radices": pallas_stockham.choose_radices(n)})
+            default_rad = pallas_stockham.choose_radices(n)
+            out.append({"alg": "pallas", "n": n, "radices": default_rad})
+            if patience >= K.PATIENCE_MEASURE:
+                # let MEASURE time alternative radix schedules (the
+                # codelet-choice part of FFTW's search space); only valid
+                # inside the fused-kernel VMEM window
+                for rad in pallas_stockham.alternative_radices(n):
+                    if rad != default_rad:
+                        out.append({"alg": "pallas", "n": n, "radices": rad})
         if pallas_stockham.fourstep_applicable(n, rdtype):
             fp, fq = pallas_stockham.choose_fourstep(n)
             out.append({"alg": "pallas4", "n": n, "p": fp, "q": fq})
-            if patience >= K.PATIENCE_MEASURE:
-                # let MEASURE time alternative radix schedules (the
-                # codelet-choice part of FFTW's search space)
-                for rad in pallas_stockham.alternative_radices(n):
-                    if rad != out[-1]["radices"]:
-                        out.append({"alg": "pallas", "n": n, "radices": rad})
         # measured: a pallas CHILD inside a mixed stage loses to the pure
         # XLA einsum path (pallas_call is a fusion barrier), so mixed
         # factors stay balance-ranked; pallas competes standalone only
         for p in _mixed_factor_candidates(n, patience):
-            child = self.plan_c2c(n // p, rdtype, patience)
+            child = self.plan_c2c(n // p, rdtype, patience,
+                                  None if batch is None else batch * p)
             out.append({"alg": "mixed", "n": n, "p": p, "child": child})
         lpf = primes.largest_prime_factor(n)
         if lpf > DIRECT_MAX or (patience >= K.PATIENCE_PATIENT and n > 16):
             m = primes.next_pow2(2 * n - 1)
             out.append({"alg": "bluestein", "n": n, "m": m,
-                        "child": self.plan_c2c(m, rdtype, patience)})
+                        "child": self.plan_c2c(m, rdtype, patience, batch)})
             m5 = primes.next_fast_size(2 * n - 1, smooth=5)
             if m5 != m and patience >= K.PATIENCE_PATIENT:
                 out.append({"alg": "bluestein", "n": n, "m": m5,
-                            "child": self.plan_c2c(m5, rdtype, patience)})
+                            "child": self.plan_c2c(m5, rdtype, patience, batch)})
         if primes.is_prime(n) and n > DIRECT_MAX:
-            nm1 = self.plan_c2c(n - 1, rdtype, patience)
+            nm1 = self.plan_c2c(n - 1, rdtype, patience, batch)
             out.append({"alg": "rader", "n": n, "child": nm1})
         if self.allow_xla and patience >= K.PATIENCE_MEASURE:
             out.append({"alg": "xla", "n": n})
@@ -386,7 +410,8 @@ class Planner:
             + 16.0 * desc["n"] / self.hw.hbm_bw
 
     # -- MEASURE mode ----------------------------------------------------
-    def _measure_best(self, kind: str, n: int, rdtype, cands: List[Dict]):
+    def _measure_best(self, kind: str, n: int, rdtype, cands: List[Dict],
+                      batch: Optional[int] = None):
         """Time compiled candidates, keep the fastest (measure() analog:
         repeat-doubling, min-of-k; fftw/fftw_api.c:18584-18640)."""
         import jax
@@ -402,12 +427,19 @@ class Planner:
                 from .utils import timing
                 # split-complex at the boundary: the TPU tunnel cannot
                 # transfer complex arrays host<->device
-                fn, args = _measure_fn(kind, desc, n, rdtype)
+                fn, args = _measure_fn(kind, desc, n, rdtype, batch)
                 timer = timing.time_chained if kind == "c2c" \
                     else timing.time_dispatched
                 t = timer(fn, args, k1=2, k2=10, reps=3)
                 self.stats["nmeasure"] += 1
-            except Exception:
+            except Exception as e:                     # noqa: BLE001
+                # a failing candidate (e.g. a Mosaic miscompile) must not
+                # look like "the planner chose the slow path": count it and
+                # keep the last error visible in stats
+                self.stats["nmeasure_failed"] = \
+                    self.stats.get("nmeasure_failed", 0) + 1
+                self.stats["last_measure_error"] = \
+                    f"{sprint_desc(desc)}: {type(e).__name__}: {e}"[:300]
                 continue
             if t < best_t:
                 best, best_t = desc, t
@@ -513,15 +545,20 @@ def build_apply(kind: str, desc: Dict, rdtype):
     return r2r_ops.build_r2r(desc, rdtype)
 
 
-def _measure_fn(kind: str, desc: Dict, n: int, rdtype):
+def _measure_fn(kind: str, desc: Dict, n: int, rdtype,
+                batch: Optional[int] = None):
     """(jitted fn, args) for MEASURE timing, with real-only host arrays and
-    real-only outputs (the tunnel cannot carry complex either way)."""
+    real-only outputs (the tunnel cannot carry complex either way).
+
+    With `batch` the candidate is timed at the caller's own vector size
+    (capped by config.measure_points for memory); otherwise at a synthetic
+    batch of ~measure_points total points — enough device time per dispatch
+    to rise above the remote-tunnel dispatch-latency floor (~0.3 ms)."""
     import jax
     import jax.numpy as jnp
 
-    # ~8M points: enough device time per dispatch to rise above the
-    # remote-tunnel dispatch-latency floor (~0.3 ms)
-    batch = max(1, (1 << 23) // max(n, 1))
+    cap = max(1, config.measure_points // max(n, 1))
+    batch = cap if batch is None else max(1, min(int(batch), cap))
     rng = np.random.default_rng(0)
     rdt = np.dtype(rdtype)
     if kind == "c2c":
@@ -544,6 +581,15 @@ def _measure_fn(kind: str, desc: Dict, n: int, rdtype):
         fn = jax.jit(apply)
     x = jnp.asarray(rng.standard_normal((batch, n)), rdt)
     return fn, (x,)
+
+
+def _batch_bucket(batch: Optional[int]) -> str:
+    """Coarse power-of-4 bucket of the vector size for wisdom keys: fine
+    enough that tile-occupancy regimes separate (128 vs 65536 batches land
+    in buckets 3 and 8), coarse enough that keys don't explode."""
+    if batch is None:
+        return "d"
+    return str(max(1, int(batch)).bit_length() // 2)
 
 
 def _device_signature() -> str:

@@ -1,0 +1,204 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md) and the
+round-1 judge's "weak" list (VERDICT.md)."""
+import numpy as np
+import pytest
+
+import fftw3_tpu as ftpu
+from fftw3_tpu import config
+from fftw3_tpu import kinds as K
+from fftw3_tpu.planner import Planner, the_planner
+
+
+@pytest.fixture
+def interpret_pallas():
+    old = config.pallas_mode
+    old_pts = config.measure_points
+    config.pallas_mode = "interpret"
+    config.measure_points = 1 << 14      # interpret-mode timing is slow
+    yield
+    config.pallas_mode = old
+    config.measure_points = old_pts
+
+
+def test_measure_candidates_pallas4_no_keyerror(interpret_pallas):
+    """ADVICE high: _candidates('c2c', 4096, f32, MEASURE) raised KeyError
+    'radices' (the alternative-radices loop read the pallas4 desc)."""
+    pl = Planner()
+    cands = pl._candidates("c2c", 4096, np.float32, K.PATIENCE_MEASURE)
+    assert any(c["alg"] == "pallas4" for c in cands)
+    # alternatives appear only for in-window sizes (<= MAX_N), never as
+    # bare pallas descs at n=4096 which would blow scoped VMEM
+    assert not any(c["alg"] == "pallas" for c in cands)
+
+
+def test_measure_alternative_radices_in_window(interpret_pallas):
+    """ADVICE medium: in-window n must get alternative radix schedules
+    under MEASURE (previously they were only generated out-of-window)."""
+    pl = Planner()
+    cands = pl._candidates("c2c", 1024, np.float32, K.PATIENCE_MEASURE)
+    pallas = [c for c in cands if c["alg"] == "pallas"]
+    assert len(pallas) >= 2
+    for c in pallas:
+        assert int(np.prod(c["radices"])) == 1024
+
+
+def test_measure_patience_plans_n4096(interpret_pallas):
+    """End-to-end: MEASURE planning for a pallas4-eligible n succeeds."""
+    pl = Planner()
+    desc = pl.plan_c2c(4096, np.float32, K.PATIENCE_MEASURE)
+    assert desc["alg"] in ("pallas4", "mixed", "direct", "pallas")
+    assert pl.stats["nmeasure"] + pl.stats["nmeasure_failed"] > 0
+
+
+def test_wisdom_entry_missing_patience_recovers():
+    """ADVICE low: imported wisdom entries without 'patience' must fall
+    through to the recovery rung, not crash."""
+    pl = Planner()
+    good = pl.plan_c2c(256, np.float32, K.PATIENCE_ESTIMATE)
+    key = pl._key("c2c", 256, np.float32)
+    pl.wisdom[key] = {"desc": good}            # no 'patience'
+    desc = pl.plan_c2c(256, np.float32, K.PATIENCE_ESTIMATE)
+    assert desc["alg"] == good["alg"]
+
+
+def test_wisdom_entry_not_a_dict_recovers():
+    pl = Planner()
+    pl.plan_c2c(256, np.float32, K.PATIENCE_ESTIMATE)
+    key = pl._key("c2c", 256, np.float32)
+    pl.wisdom[key] = "garbage"
+    desc = pl.plan_c2c(256, np.float32, K.PATIENCE_ESTIMATE)
+    assert isinstance(desc, dict)
+    assert pl.stats.get("nbogus", 0) >= 1
+
+
+def test_measure_failed_counter(interpret_pallas, monkeypatch):
+    """VERDICT weak: MEASURE must count candidate failures, not swallow."""
+    pl = Planner()
+    from fftw3_tpu import planner as planner_mod
+
+    real = planner_mod._measure_fn
+    calls = {"n": 0}
+
+    def flaky(kind, desc, n, rdtype, batch=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected miscompile")
+        return real(kind, desc, n, rdtype, batch)
+
+    monkeypatch.setattr(planner_mod, "_measure_fn", flaky)
+    pl.plan_c2c(1024, np.float32, K.PATIENCE_MEASURE)
+    assert pl.stats["nmeasure_failed"] >= 1
+    assert "injected miscompile" in pl.stats["last_measure_error"]
+
+
+def test_batch_aware_wisdom_keys(interpret_pallas):
+    """VERDICT #6: wisdom is bucketed by the caller's vector size so
+    plan_many_dft([1024], 128) and (..., 65536) can diverge under MEASURE."""
+    pl = Planner()
+    d1 = pl.plan_c2c(1024, np.float32, K.PATIENCE_MEASURE, batch=128)
+    d2 = pl.plan_c2c(1024, np.float32, K.PATIENCE_MEASURE, batch=65536)
+    k1 = pl._key("c2c", 1024, np.float32, 128)
+    k2 = pl._key("c2c", 1024, np.float32, 65536)
+    assert k1 != k2
+    assert pl.wisdom[k1]["desc"] == d1 and pl.wisdom[k2]["desc"] == d2
+    # replans at the same batch hit wisdom
+    before = pl.stats["nwisdom_hit"]
+    pl.plan_c2c(1024, np.float32, K.PATIENCE_MEASURE, batch=128)
+    assert pl.stats["nwisdom_hit"] == before + 1
+
+
+def test_make_plan_passes_batch():
+    """make_plan must plan each axis at the caller's actual vector size."""
+    from fftw3_tpu import planner as planner_mod
+
+    seen = {}
+    pl = Planner()
+    orig = pl._plan
+
+    def spy(kind, n, rdtype, patience, batch=None):
+        seen.setdefault((kind, n), batch)
+        return orig(kind, n, rdtype, patience, batch)
+
+    pl._plan = spy
+    from fftw3_tpu.plan import Problem, make_plan
+    prob = Problem(shape=(8, 64, 32), axes=(1, 2), kind="c2c",
+                   rdtype="float32")
+    make_plan(prob, planner=pl)
+    assert seen[("c2c", 64)] == 8 * 32
+    assert seen[("c2c", 32)] == 8 * 64
+
+
+def test_problem_string_docstring_example_parses():
+    """ADVICE low: the documented batched-DCT-II example must parse."""
+    from fftw3_tpu.harness.problem import parse_problem
+    p = parse_problem("k512e10v4096")
+    assert p.kind == "r2r" and p.sizes == (512,)
+    assert p.r2r_kinds == (K.Kind.REDFT10,)
+    assert p.batch == (4096,)
+
+
+def test_problem_string_default_strides_accepted():
+    from fftw3_tpu.harness.problem import UnsupportedProblem, parse_problem
+    p = parse_problem("c64:32x32")          # 32 == contiguous default
+    assert p.sizes == (64, 32)
+    with pytest.raises(UnsupportedProblem):
+        parse_problem("c64x32:7")           # non-default physical stride
+
+
+def test_api_dct_ortho_matches_scipy_layer(rng):
+    """VERDICT weak: api.dct(norm='ortho') must work (was inconsistent
+    with interfaces.scipy_fft which implements it)."""
+    from fftw3_tpu.interfaces import scipy_fft
+    x = rng.standard_normal((4, 32)).astype(np.float32)
+    for typ in (1, 2, 3, 4):
+        a = np.asarray(ftpu.dct(x, type=typ, norm="ortho"))
+        b = np.asarray(scipy_fft.dct(x, type=typ, norm="ortho"))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+        # round trip under ortho is the identity
+        back = np.asarray(ftpu.idct(ftpu.dct(x, type=typ, norm="ortho"),
+                                    type=typ, norm="ortho"))
+        np.testing.assert_allclose(back, x, rtol=1e-4, atol=1e-4)
+
+
+def test_guru_execute_paths_cache_jit(rng):
+    """VERDICT weak: execute paths must not rebuild jax.jit per call."""
+    from fftw3_tpu import guru
+    p = guru.plan_guru_split_dft([guru.iodim(64)], [guru.iodim(4)])
+    ri = rng.standard_normal((4, 64)).astype(np.float32)
+    ii = rng.standard_normal((4, 64)).astype(np.float32)
+    p.execute(ri, ii)
+    fn1 = p._jitted
+    p.execute(ri, ii)
+    assert p._jitted is fn1 and fn1 is not None
+
+
+def test_alloc_local_oracle():
+    from fftw3_tpu.parallel import alloc_local
+    # 10x12x4 over 4 ranks: rank 0 holds ceil(10/4)=3 slabs of 48
+    assert alloc_local((10, 12, 4), 4, 0) == 3 * 48
+    # transposed: max(input slab, output slab) — 12/4=3 rows of 40
+    assert alloc_local((10, 12, 4), 4, 0, transposed=True) == max(144, 120)
+    assert alloc_local((8,), 4, 0, howmany=5) == 10
+
+
+def test_overlap_chunks_consumes_nthreads_hint():
+    """VERDICT weak: plan_with_nthreads was dead state; it now sets the
+    default overlap pipeline depth of distributed plans."""
+    import jax
+    from jax.sharding import Mesh
+
+    from fftw3_tpu import threads
+    from fftw3_tpu.parallel import plan_dft_dist
+
+    devs = np.asarray(jax.devices()[:4])
+    mesh = Mesh(devs, ("x",))
+    threads.plan_with_nthreads(2)
+    try:
+        plan = plan_dft_dist((8, 16, 16), mesh, "x", axes=(0, 1, 2))
+        x = (np.arange(8 * 16 * 16).reshape(8, 16, 16) % 7).astype(
+            np.complex64)
+        y = np.asarray(plan(jax.device_put(x, plan.input_sharding())))
+        ref = np.fft.fftn(x)
+        assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-5
+    finally:
+        threads.cleanup_threads()
