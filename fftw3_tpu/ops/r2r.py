@@ -54,6 +54,61 @@ def _makhoul_inv(n: int) -> np.ndarray:
     return inv
 
 
+def _redft11_odd_maps(n: int):
+    """Host-side signed-permutation maps for the odd-n DCT-IV via a single
+    same-size R2HC (the 8 x n PFA route of S.C. Chan & K.L. Ho, IEEE
+    Trans. CAS-II 39(3) 1992; reodft11e-r2hc-odd analog,
+    fftw/fftw_api.c:13056-13322).  The pre-step samples the canonical
+    DCT-IV symmetry extension (even about -1/2, odd about n-1/2) of x at
+    positions n//2 + 4i mod 4n; the post-step combines pairs of
+    halfcomplex bins with signs and a global sqrt(2).  Both derived
+    numerically-verified against the dense DCT-IV matrix."""
+    n2 = n // 2
+    m = (n2 + 4 * np.arange(n, dtype=np.int64)) % (4 * n)
+    pre_idx = np.empty(n, np.int64)
+    pre_sgn = np.empty(n, np.float64)
+    for i, mm in enumerate(m):
+        if mm < n:
+            pre_idx[i], pre_sgn[i] = mm, 1.0
+        elif mm < 2 * n:
+            pre_idx[i], pre_sgn[i] = 2 * n - 1 - mm, -1.0
+        elif mm < 3 * n:
+            pre_idx[i], pre_sgn[i] = mm - 2 * n, -1.0
+        else:
+            pre_idx[i], pre_sgn[i] = 4 * n - 1 - mm, 1.0
+    ia = np.zeros(n, np.int64)
+    sa = np.zeros(n)
+    ib = np.zeros(n, np.int64)
+    sb = np.zeros(n)
+
+    def sgn(t):
+        return -1.0 if t % 2 else 1.0
+
+    i = 0
+    while 2 * i + 1 < n2:
+        k = 2 * i + 1
+        ia[i], sa[i] = k, sgn((i + 1) // 2)
+        ib[i], sb[i] = n - k, sgn(i // 2)
+        ia[n - (i + 1)], sa[n - (i + 1)] = k, sgn((n - i) // 2)
+        ib[n - (i + 1)], sb[n - (i + 1)] = n - k, -sgn((n - (i + 1)) // 2)
+        ia[n2 - (i + 1)], sa[n2 - (i + 1)] = k + 1, sgn((n2 - i) // 2)
+        ib[n2 - (i + 1)], sb[n2 - (i + 1)] = \
+            n - (k + 1), -sgn((n2 - (i + 1)) // 2)
+        ia[n2 + (i + 1)], sa[n2 + (i + 1)] = k + 1, sgn((n2 + i + 2) // 2)
+        ib[n2 + (i + 1)], sb[n2 + (i + 1)] = \
+            n - (k + 1), sgn((n2 + (i + 1)) // 2)
+        i += 1
+    if 2 * i + 1 == n2:
+        ia[i], sa[i] = n2, sgn((i + 1) // 2)
+        ib[i], sb[i] = n - n2, sgn(i // 2)
+        ia[n - (i + 1)], sa[n - (i + 1)] = n2, sgn((i + 2) // 2)
+        ib[n - (i + 1)], sb[n - (i + 1)] = n - n2, sgn((i + 1) // 2)
+    ia[n2], sa[n2] = 0, sgn((n2 + 1) // 2)
+    ib[n2], sb[n2] = 0, 0.0
+    rt2 = np.sqrt(2.0)
+    return pre_idx, pre_sgn, ia, sa * rt2, ib, sb * rt2
+
+
 def build_r2r(desc: Dict, rdtype) -> Apply:
     alg = desc["alg"]
     n = desc["n"]
@@ -165,6 +220,57 @@ def build_r2r(desc: Dict, rdtype) -> Apply:
             return 2.0 * jnp.real(wk * G)
         return apply_dct4
 
+    if alg == "redft00_split":                                   # DCT-I
+        # split-radix for odd n (logical size N = n-1 even): evens are a
+        # half-size DCT-I, odds a half-size DCT-II, recombined by the
+        # cosine mirror symmetries (reodft00e-splitradix role,
+        # fftw/fftw_api.c:12088-12401, re-derived; ~2x less work than the
+        # zero-padded route)
+        N = n - 1
+        h = N // 2
+        ce = build_r2r(desc["children"][0], rdtype)   # REDFT00, size h+1
+        co = build_r2r(desc["children"][1], rdtype)   # REDFT10, size h
+
+        def apply_dct1s(x):
+            E = ce(x[..., 0::2])
+            O = co(x[..., 1::2])
+            zero = jnp.zeros_like(O[..., :1])
+            head = E + jnp.concatenate([O, zero], axis=-1)   # k = 0..h
+            tail = (E[..., 0:h] - O)[..., ::-1]              # k = h+1..N
+            return jnp.concatenate([head, tail], axis=-1)
+        return apply_dct1s
+
+    if alg == "rodft00_split":                                   # DST-I
+        # sine mirror of the split: interior evens are a half-size DST-I,
+        # odds a half-size DST-II
+        N = n + 1
+        h = N // 2
+        ce = build_r2r(desc["children"][0], rdtype)   # RODFT00, size h-1
+        co = build_r2r(desc["children"][1], rdtype)   # RODFT10, size h
+
+        def apply_dst1s(x):
+            E = ce(x[..., 1::2])
+            O = co(x[..., 0::2])
+            zero = jnp.zeros_like(O[..., :1])
+            head = jnp.concatenate([E, zero], axis=-1) + O   # Y[0..h-1]
+            tail = (O[..., 0:h - 1] - E)[..., ::-1]          # Y[h..n-1]
+            return jnp.concatenate([head, tail], axis=-1)
+        return apply_dst1s
+
+    if alg == "redft11_odd":                                     # DCT-IV
+        pre_idx, pre_sgn, ia, sa, ib, sb = _redft11_odd_maps(n)
+        child = build_r2r(desc["child"], rdtype)      # R2HC, size n
+        pre_idx = np.asarray(pre_idx)
+        preS = np.asarray(pre_sgn, rdtype)
+        saA = np.asarray(sa, rdtype)
+        sbA = np.asarray(sb, rdtype)
+        iaA, ibA = np.asarray(ia), np.asarray(ib)
+
+        def apply_dct4o(x):
+            H = child(x[..., pre_idx] * preS)
+            return saA * H[..., iaA] + sbA * H[..., ibA]
+        return apply_dct4o
+
     if alg == "rodft10_flip":                                    # DST-II
         child = build_r2r(desc["child"], rdtype)
         sgn = np.asarray((-1.0) ** np.arange(n), dtype=rdtype)
@@ -187,8 +293,14 @@ def r2r_opcount(desc: Dict) -> Dict[str, float]:
     alg, n = desc["alg"], desc["n"]
     if alg == "r2r_matmul":
         return {"add": float(n * n), "mul": 0.0, "fma": float(n * n)}
+    if alg in ("redft00_split", "rodft00_split"):
+        a = r2r_opcount(desc["children"][0])
+        b = r2r_opcount(desc["children"][1])
+        return {"add": a["add"] + b["add"] + 2.0 * n,
+                "mul": a["mul"] + b["mul"], "fma": a["fma"] + b["fma"]}
     child_key = "child"
-    if alg in ("rodft10_flip", "rodft01_flip", "rodft11_flip"):
+    if alg in ("rodft10_flip", "rodft01_flip", "rodft11_flip",
+               "redft11_odd"):
         inner = r2r_opcount(desc[child_key])
     elif alg == "redft11_2n":
         inner = c2c_ops.c2c_opcount(desc[child_key])

@@ -301,12 +301,33 @@ class Planner:
         elif kind == "redft00" and n > 1:
             out.append({"alg": "redft00_ext", "n": n,
                         "child": self.plan_r2c(2 * (n - 1), rdtype, patience, batch)})
+            if n % 2 == 1 and n >= 5:
+                # split-radix (reodft00e-splitradix analog): evens -> DCT-I
+                # of (n+1)/2, odds -> DCT-II of (n-1)/2; ~2x less work
+                out.append({"alg": "redft00_split", "n": n, "children": [
+                    self.plan_r2r(K.Kind.REDFT00, (n + 1) // 2, rdtype,
+                                  patience, batch),
+                    self.plan_r2r(K.Kind.REDFT10, (n - 1) // 2, rdtype,
+                                  patience, batch)]})
         elif kind == "rodft00":
             out.append({"alg": "rodft00_ext", "n": n,
                         "child": self.plan_r2c(2 * (n + 1), rdtype, patience, batch)})
+            if n % 2 == 1 and n >= 5:
+                out.append({"alg": "rodft00_split", "n": n, "children": [
+                    self.plan_r2r(K.Kind.RODFT00, (n - 1) // 2, rdtype,
+                                  patience, batch),
+                    self.plan_r2r(K.Kind.RODFT10, (n + 1) // 2, rdtype,
+                                  patience, batch)]})
         elif kind == "redft11":
             out.append({"alg": "redft11_2n", "n": n,
                         "child": self.plan_c2c(2 * n, rdtype, patience, batch)})
+            if n % 2 == 1:
+                # odd n: ONE same-size R2HC via the 8n PFA signed
+                # permutations (reodft11e-r2hc-odd analog); 2x less work
+                # than the 2n route
+                out.append({"alg": "redft11_odd", "n": n,
+                            "child": self.plan_r2r(K.Kind.R2HC, n, rdtype,
+                                                   patience, batch)})
         elif kind == "rodft10":
             out.append({"alg": "rodft10_flip", "n": n,
                         "child": self.plan_r2r(K.Kind.REDFT10, n, rdtype,
@@ -397,12 +418,17 @@ class Planner:
             n = desc["n"]
             return (8.0 * n / self.hw.hbm_bw
                     + 2.0 * n * n / (self.hw.peak_flops * self.hw.matmul_eff(n)))
+        if desc["alg"] in ("redft00_split", "rodft00_split"):
+            # two half-size r2r children + one recombination HBM pass
+            return (self._cost("r2r", desc["children"][0])
+                    + self._cost("r2r", desc["children"][1])
+                    + 8.0 * desc["n"] / self.hw.hbm_bw)
         child_kind = {"dht_via_r2c": "r2c", "r2hc_via_r2c": "r2c",
                       "hc2r_via_c2r": "c2r", "redft10_half": "r2c",
                       "redft01_half": "c2r", "redft00_ext": "r2c",
                       "rodft00_ext": "r2c", "redft11_2n": "c2c",
                       "rodft10_flip": "r2r", "rodft01_flip": "r2r",
-                      "rodft11_flip": "r2r"}[desc["alg"]]
+                      "rodft11_flip": "r2r", "redft11_odd": "r2r"}[desc["alg"]]
         if child_kind == "r2r":
             return self._cost("r2r", desc["child"]) \
                 + 8.0 * desc["n"] / self.hw.hbm_bw
@@ -519,6 +545,16 @@ def validate_desc(kind: str, n: int, desc) -> bool:
             return validate_desc("c2c", n, desc.get("child"))
         return False
     # r2r kinds: check the child link matches the reduction table
+    if alg in ("redft00_split", "rodft00_split"):
+        ch = desc.get("children")
+        if not (isinstance(ch, list) and len(ch) == 2 and n % 2 == 1):
+            return False
+        if alg == "redft00_split":
+            sizes = ((n + 1) // 2, (n - 1) // 2)
+        else:
+            sizes = ((n - 1) // 2, (n + 1) // 2)
+        return (validate_desc("r2r", sizes[0], ch[0])
+                and validate_desc("r2r", sizes[1], ch[1]))
     child_kind = {"dht_via_r2c": ("r2c", n), "r2hc_via_r2c": ("r2c", n),
                   "hc2r_via_c2r": ("c2r", n), "redft10_half": ("r2c", n),
                   "redft01_half": ("c2r", n),
@@ -526,7 +562,8 @@ def validate_desc(kind: str, n: int, desc) -> bool:
                   "rodft00_ext": ("r2c", 2 * (n + 1)),
                   "redft11_2n": ("c2c", 2 * n),
                   "rodft10_flip": ("r2r", n), "rodft01_flip": ("r2r", n),
-                  "rodft11_flip": ("r2r", n)}.get(alg)
+                  "rodft11_flip": ("r2r", n),
+                  "redft11_odd": ("r2r", n)}.get(alg)
     if alg == "r2r_matmul":
         return isinstance(desc.get("kind"), str)
     if child_kind is None:

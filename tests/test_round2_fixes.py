@@ -202,3 +202,47 @@ def test_overlap_chunks_consumes_nthreads_hint():
         assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-5
     finally:
         threads.cleanup_threads()
+
+
+class TestFastReodft:
+    """VERDICT #10: reodft00e-splitradix + reodft11e-r2hc-odd analogs."""
+
+    @pytest.mark.parametrize("kind,alg", [
+        ("redft00", "redft00_split"), ("rodft00", "rodft00_split"),
+        ("redft11", "redft11_odd")])
+    @pytest.mark.parametrize("n", [5, 9, 33, 129, 1025])
+    def test_matches_dense(self, kind, alg, n, rng):
+        from fftw3_tpu.ops import matrices
+        from fftw3_tpu.ops import r2r as r2r_ops
+        from fftw3_tpu.planner import validate_desc
+
+        pl = Planner()
+        cands = pl._candidates(kind, n, np.float64, K.PATIENCE_ESTIMATE)
+        descs = [c for c in cands if c["alg"] == alg]
+        assert descs, f"{alg} not offered for odd n={n}"
+        d = descs[0]
+        assert validate_desc(kind, n, d)
+        fn = r2r_ops.build_r2r(d, np.float64)
+        x = rng.standard_normal((3, n))
+        y = np.asarray(fn(x))
+        ref = x @ matrices.r2r_matrix(kind, n)
+        assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-10
+
+    def test_not_offered_for_even_n(self):
+        pl = Planner()
+        for kind, alg in [("redft00", "redft00_split"),
+                          ("redft11", "redft11_odd")]:
+            cands = pl._candidates(kind, 16, np.float64,
+                                   K.PATIENCE_ESTIMATE)
+            assert not any(c["alg"] == alg for c in cands)
+
+    def test_planner_prefers_split_at_large_odd_n(self):
+        """Above the dense-matmul window the split/odd routes must win the
+        ESTIMATE race against the padded/2n routes."""
+        pl = Planner()
+        d = pl.plan_r2r(K.Kind.REDFT00, 8193, np.float32,
+                        K.PATIENCE_ESTIMATE)
+        assert d["alg"] == "redft00_split"
+        d = pl.plan_r2r(K.Kind.REDFT11, 8193, np.float32,
+                        K.PATIENCE_ESTIMATE)
+        assert d["alg"] == "redft11_odd"
