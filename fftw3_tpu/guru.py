@@ -51,61 +51,93 @@ def _dims_to_shape(dims: Sequence) -> Tuple[int, ...]:
 
 
 def _has_strides(dims) -> bool:
-    return any(isinstance(d, iodim) and d.is_ not in (0,) for d in dims)
+    return any(isinstance(d, iodim) and (d.is_ != 0 or d.os_ != 0)
+               for d in dims)
+
+
+def _stride_index_grid(all_dims, use_output: bool) -> np.ndarray:
+    """Element-offset grid of a strided iodim layout (dwim rule: stride 0
+    means contiguous row-major from the right)."""
+    sizes = [d.n for d in all_dims]
+    strides = []
+    default = 1
+    for d in reversed(all_dims):
+        st = (d.os_ if use_output else d.is_) or default
+        strides.append(st)
+        default = st * d.n
+    strides = strides[::-1]
+    idx = np.zeros(sizes, np.int64)
+    for ax, (sz, st) in enumerate(zip(sizes, strides)):
+        shp = [1] * len(sizes)
+        shp[ax] = sz
+        idx = idx + st * np.arange(sz, dtype=np.int64).reshape(shp)
+    return idx
 
 
 class StridedGuruPlan:
-    """Guru plan over a FLAT buffer with explicit iodim input strides —
-    FFTW's actual guru memory model (fftw/fftw_api.c:1172-1533).
+    """Guru plan over FLAT buffers with explicit iodim strides — FFTW's
+    actual guru memory model (fftw/fftw_api.c:1172-1533), BOTH sides:
 
-    The caller passes the flat 1-D array (plus an optional element offset);
-    the plan gathers the strided view, transforms, and returns the result
-    in contiguous logical layout (functional arrays cannot scatter into an
-    existing buffer, so output strides are not honored — the FFTW
-    capability this preserves is *reading* arbitrary layouts).
+    * input: the plan gathers the strided view from the flat input buffer
+      (plus an optional element offset);
+    * output: with explicit ``os`` strides the result is scattered into a
+      flat output buffer at the strided positions (positions outside the
+      layout are zero, or preserved when the caller passes ``out=`` —
+      FFTW's "untouched" semantics expressed functionally).
+
+    Without ``os`` strides the result comes back in contiguous logical
+    layout.
     """
 
     def __init__(self, plan, dims, howmany_dims):
         self._plan = plan
         all_dims = tuple(howmany_dims) + tuple(dims)
-        sizes = [d.n for d in all_dims]
-        strides = []
-        default = 1
-        # dwim: stride 0 means contiguous row-major from the right
-        for d in reversed(all_dims):
-            strides.append(d.is_ if d.is_ else default)
-            default = (d.is_ if d.is_ else default) * d.n
-        strides = strides[::-1]
-        idx = np.zeros(sizes, np.int64)
-        for ax, (sz, st) in enumerate(zip(sizes, strides)):
-            shp = [1] * len(sizes)
-            shp[ax] = sz
-            idx = idx + st * np.arange(sz, dtype=np.int64).reshape(shp)
-        self._idx = idx
-        self.in_shape = tuple(sizes)
+        self._idx = _stride_index_grid(all_dims, use_output=False)
+        self._has_os = any(d.os_ for d in all_dims)
+        if self._has_os:
+            self._idx_out = _stride_index_grid(all_dims, use_output=True)
+            self.out_size = int(self._idx_out.max()) + 1
+        else:
+            self._idx_out = None
+            self.out_size = None
+        self.in_shape = tuple(d.n for d in all_dims)
         self.out_shape = plan.out_shape
         self.problem = plan.problem
-        self._jitted = None            # cached jit (no per-call retrace)
+        self._jitted = None            # cached jits (no per-call retrace)
+        self._jitted_out = None
 
     @property
     def apply(self):
         plan = self._plan
         idx = self._idx
+        idx_out = self._idx_out
+        out_size = self.out_size
 
-        def fn(flat, offset=0):
-            return plan.apply(flat[idx + offset])
+        def fn(flat, offset=0, out=None):
+            y = plan.apply(flat[idx + offset])
+            if idx_out is None:
+                return y
+            if out is None:
+                out = jnp.zeros((out_size,), y.dtype)
+            return out.at[idx_out + offset].set(y)
         return fn
 
-    def execute(self, flat, offset: int = 0):
+    def execute(self, flat, offset: int = 0, out=None):
         import jax
+        flat = jnp.asarray(flat)
+        if out is not None:
+            if self._jitted_out is None:
+                self._jitted_out = jax.jit(self.apply)
+            return self._jitted_out(flat, offset, jnp.asarray(out))
         if self._jitted is None:
-            self._jitted = jax.jit(self.apply)
-        return self._jitted(jnp.asarray(flat), offset)
+            self._jitted = jax.jit(lambda f, o: self.apply(f, o))
+        return self._jitted(flat, offset)
 
     __call__ = execute
 
     def __repr__(self):
-        return f"(strided-guru {self._plan!r})"
+        return f"(strided-guru{'-os' if self._has_os else ''} " \
+               f"{self._plan!r})"
 
 
 def plan_guru_dft(dims: Sequence, howmany_dims: Sequence = (),

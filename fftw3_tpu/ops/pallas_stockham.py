@@ -163,13 +163,37 @@ def applicable(n: int, rdtype) -> bool:
 # kernel
 # ---------------------------------------------------------------------------
 
-def _stage_consts(n: int, radices: Sequence[int], sign: int):
-    """Host-side f64-accurate constants per stage: F_p (p,p), twiddle (p,q).
+#: lane-replicated ("flat") twiddle byte budget.  The flat layout keeps the
+#: stage twiddle as a (p, q*L) operand multiplied on the 2-D matmul-output
+#: view directly — measured ~13-25 ps/pt faster at n=1024 than the (p,q,1)
+#: VPU broadcast (no reshape/broadcast relayout) — at the price of
+#: q*L*p*8 bytes of VMEM.  Above the budget fall back to the broadcast.
+#: 1.5 MB: n=1024 (1 MB) gets the flat form; n=2048 (2 MB) measured 180 KB
+#: over the 16 MB scoped-VMEM limit with it, so it keeps the broadcast.
+FLAT_TW_MAX_BYTES = (3 << 20) // 2
 
-    Twiddle laid out [k1, j2] to broadcast over (p, q, done, TB) directly.
+
+def _flat_tw_lanes(n: int, radices: Sequence[int], lanes: int):
+    """Lane count to replicate stage twiddles to, or 0 for broadcast form."""
+    if len(radices) < 2:
+        return 0
+    p = radices[0]
+    if p * (n // p) * lanes * 8 > FLAT_TW_MAX_BYTES:
+        return 0
+    return lanes
+
+
+def _stage_consts(n: int, radices: Sequence[int], sign: int,
+                  tw_lanes: int = 0):
+    """Host-side f64-accurate constants per stage: F_p (p,p), twiddle.
+
+    Twiddle laid out [k1, j2] to broadcast over (p, q, done, TB) directly,
+    or — with ``tw_lanes = L > 0`` — pre-replicated to the flat (p, q*L)
+    layout applied on the 2-D view (see FLAT_TW_MAX_BYTES).
     """
     out = []
     rest = n
+    first = True
     for p in radices:
         q = rest // p
         F = matrices.dft_matrix(p, sign)
@@ -179,14 +203,32 @@ def _stage_consts(n: int, radices: Sequence[int], sign: int):
             e = np.mod(np.outer(np.arange(p, dtype=np.int64),
                                 np.arange(q, dtype=np.int64)), rest)
             w = np.exp(sign * 2j * np.pi * e / rest)
-            consts += [np.ascontiguousarray(w.real, np.float32),
-                       np.ascontiguousarray(w.imag, np.float32)]
+            wr = np.ascontiguousarray(w.real, np.float32)
+            wi = np.ascontiguousarray(w.imag, np.float32)
+            if tw_lanes and first:     # flat form only for the done==1 stage
+                wr = np.ascontiguousarray(
+                    np.repeat(wr[:, :, None], tw_lanes, 2).reshape(
+                        p, q * tw_lanes))
+                wi = np.ascontiguousarray(
+                    np.repeat(wi[:, :, None], tw_lanes, 2).reshape(
+                        p, q * tw_lanes))
+            consts += [wr, wi]
         out.append(consts)
         rest = q
+        first = False
     return out
 
 
-def _cmatmul2d(Fr, Fi, ar, ai):
+#: byte budget for the k2 Karatsuba form's stacked cross-term operand
+#: (a (2p, M) bf16 concat).  Within budget, the Fh@xl + Fl@xh cross terms
+#: run as ONE K=2p matmul — the MXU is K-underutilized at these radices,
+#: so two stacked K=p passes cost like one (measured -17 ps/pt at n=1024
+#: same-session).  n=2048's extra concat planes blew scoped VMEM, so the
+#: budget excludes it (falls back to the 3-pass form).
+K2_MAX_BYTES = 768 << 10
+
+
+def _cmatmul2d(Fr, Fi, ar, ai, k2=False):
     """(F^T x) in split complex: 3 Karatsuba products on the MXU.
 
     Fr/Fi: (p, p) with F[j1, k1]; a: (p, M).  Returns (p, M) rows k1.
@@ -197,16 +239,18 @@ def _cmatmul2d(Fr, Fi, ar, ai):
     hi + lo bf16 parts and take the three first-order terms (hi*hi,
     hi*lo, lo*hi; the dropped lo*lo term is ~2^-16 relative).  Measured
     ~12% faster end-to-end at rel err ~1e-5, far inside the 1e-3 single
-    tolerance.  Mosaic lacks Precision.HIGH, hence by hand.
+    tolerance.  Mosaic lacks Precision.HIGH, hence by hand.  ``k2``
+    additionally fuses the two cross terms into one K=2p matmul
+    (K2_MAX_BYTES gate).
     """
-    mm = _mxu_mm()
+    mm = _mxu_mm(k2)
     t1 = mm(Fr, ar)
     t2 = mm(Fi, ai)
     t3 = mm(Fr + Fi, ar + ai)
     return t1 - t2, t3 - t1 - t2
 
 
-def _mxu_mm():
+def _mxu_mm(k2=False):
     """The in-kernel real matmul, per config.pallas_matmul."""
     if config.pallas_matmul == "bf16x3":
         def mm(F, x):
@@ -217,6 +261,10 @@ def _mxu_mm():
 
             def d(a, b):
                 return jnp.dot(a, b, preferred_element_type=jnp.float32)
+            if k2:
+                FF = jnp.concatenate([Fh, Fl], axis=1)
+                XX = jnp.concatenate([xl, xh], axis=0)
+                return d(Fh, xh) + d(FF, XX)
             return d(Fh, xh) + (d(Fh, xl) + d(Fl, xh))
         return mm
     prec = config.precision()
@@ -227,9 +275,10 @@ def _mxu_mm():
     return mm
 
 
-def _stages(radices, n, tb, crefs, ar, ai):
+def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0):
     """Shared Stockham stage loop on (n, TB) values (transform index in
-    major/sublane dims, TB lanes)."""
+    major/sublane dims, TB lanes).  ``tw_lanes == tb`` selects the flat
+    first-stage twiddle (see FLAT_TW_MAX_BYTES)."""
     done = 1
     rest = n
     ci = 0
@@ -239,18 +288,30 @@ def _stages(radices, n, tb, crefs, ar, ai):
         Fi = crefs[ci + 1][...]
         ci += 2
         # contraction over j1: 2-D matmul on (p, q*done*TB)
-        a2r = ar.reshape(p, q * done * tb)
-        a2i = ai.reshape(p, q * done * tb)
-        yr, yi = _cmatmul2d(Fr, Fi, a2r, a2i)
+        M = q * done * tb
+        a2r = ar.reshape(p, M)
+        a2i = ai.reshape(p, M)
+        yr, yi = _cmatmul2d(Fr, Fi, a2r, a2i,
+                            k2=(4 * p * M <= K2_MAX_BYTES))
         if done == 1:
-            # 3-D shapes: avoid a degenerate sublane-1 dimension
-            yr = yr.reshape(p, q, tb)
-            yi = yi.reshape(p, q, tb)
-            if q > 1:
-                wr = crefs[ci][...].reshape(p, q, 1)
-                wi = crefs[ci + 1][...].reshape(p, q, 1)
+            if q > 1 and tw_lanes == tb:
+                # flat twiddle: multiply on the 2-D matmul-output view
+                # (no reshape/broadcast relayout before the VPU pass)
+                wr = crefs[ci][...]
+                wi = crefs[ci + 1][...]
                 ci += 2
                 yr, yi = yr * wr - yi * wi, yr * wi + yi * wr
+                yr = yr.reshape(p, q, tb)
+                yi = yi.reshape(p, q, tb)
+            else:
+                # 3-D shapes: avoid a degenerate sublane-1 dimension
+                yr = yr.reshape(p, q, tb)
+                yi = yi.reshape(p, q, tb)
+                if q > 1:
+                    wr = crefs[ci][...].reshape(p, q, 1)
+                    wi = crefs[ci + 1][...].reshape(p, q, 1)
+                    ci += 2
+                    yr, yi = yr * wr - yi * wi, yr * wi + yi * wr
             ar = jnp.transpose(yr, (1, 0, 2))          # (q, p, TB)
             ai = jnp.transpose(yi, (1, 0, 2))
         else:
@@ -269,7 +330,7 @@ def _stages(radices, n, tb, crefs, ar, ai):
     return ar.reshape(n, tb), ai.reshape(n, tb)
 
 
-def _kernel(radices, n, tb, pretwiddle, *refs):
+def _kernel(radices, n, tb, pretwiddle, tw_lanes, store_kp, *refs):
     """Last-axis form: blocks (TB, n); transpose to batch-in-lanes and
     back inside VMEM (measured: the 2-D transposes are free).
 
@@ -292,12 +353,24 @@ def _kernel(radices, n, tb, pretwiddle, *refs):
         xr = xr3.reshape(tb, n)
         xi = xi3.reshape(tb, n)
     ar, ai = _stages(radices, n, tb, crefs,
-                     jnp.transpose(xr), jnp.transpose(xi))
+                     jnp.transpose(xr), jnp.transpose(xi),
+                     tw_lanes=tw_lanes)
+    if store_kp:
+        # four-step fused store: rows are (b, k1) pairs with k1 = row mod
+        # p; emit (g, n, p) blocks so the (B, p, q) -> (B, q, p) output
+        # transpose happens in VMEM instead of as a third HBM pass
+        kp = store_kp
+        g = tb // kp
+        yr_ref[...] = jnp.transpose(
+            jnp.transpose(ar).reshape(g, kp, n), (0, 2, 1))
+        yi_ref[...] = jnp.transpose(
+            jnp.transpose(ai).reshape(g, kp, n), (0, 2, 1))
+        return
     yr_ref[...] = jnp.transpose(ar)
     yi_ref[...] = jnp.transpose(ai)
 
 
-def _kernel_inner(radices, n, g, tl, *refs):
+def _kernel_inner(radices, n, g, tl, tw_lanes, *refs):
     """Axis -2 form: blocks (G, n, TL); the trailing dims already are the
     lanes.  G leading rows share one grid step (small n would otherwise
     drown in per-block overhead); they fold into the lane dimension via a
@@ -305,26 +378,34 @@ def _kernel_inner(radices, n, g, tl, *refs):
     xr_ref, xi_ref = refs[0], refs[1]
     yr_ref, yi_ref = refs[-2], refs[-1]
     if g == 1:
-        ar, ai = _stages(radices, n, tl, refs[2:-2], xr_ref[0], xi_ref[0])
+        ar, ai = _stages(radices, n, tl, refs[2:-2], xr_ref[0], xi_ref[0],
+                         tw_lanes=tw_lanes)
         yr_ref[0] = ar
         yi_ref[0] = ai
         return
     xr = jnp.transpose(xr_ref[...], (1, 0, 2)).reshape(n, g * tl)
     xi = jnp.transpose(xi_ref[...], (1, 0, 2)).reshape(n, g * tl)
-    ar, ai = _stages(radices, n, g * tl, refs[2:-2], xr, xi)
+    ar, ai = _stages(radices, n, g * tl, refs[2:-2], xr, xi,
+                     tw_lanes=tw_lanes)
     yr_ref[...] = jnp.transpose(ar.reshape(n, g, tl), (1, 0, 2))
     yi_ref[...] = jnp.transpose(ai.reshape(n, g, tl), (1, 0, 2))
 
 
 def _make_call(n: int, radices: Sequence[int], sign: int, tb: int,
-               interpret: bool, pretwiddle_p: int = 0):
+               interpret: bool, pretwiddle_p: int = 0,
+               store_transposed: bool = False):
     """pretwiddle_p > 0: fuse the four-step twiddle w[k1, j2] =
     exp(sign*2pi*i*k1*j2/(p*n)) into the load phase, where k1 = global row
-    index mod p.  Requires p | tb or tb | p (power-of-two p)."""
+    index mod p.  Requires p | tb or tb | p (power-of-two p).
+
+    ``store_transposed`` (with pretwiddle_p = p): write (B/p, n, p) output
+    blocks — the four-step's (b, k1, k2) -> (b, k2, k1) reordering done in
+    VMEM at store time, saving the composition's third HBM pass."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    consts = _stage_consts(n, radices, sign)
+    tw_lanes = _flat_tw_lanes(n, radices, tb)
+    consts = _stage_consts(n, radices, sign, tw_lanes)
     flat_consts = [c for stage in consts for c in stage]
     const_specs = [pl.BlockSpec(c.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
@@ -344,7 +425,11 @@ def _make_call(n: int, radices: Sequence[int], sign: int, tb: int,
                        np.ascontiguousarray(w.imag, np.float32)] \
             + flat_consts
         const_specs = tw_specs + const_specs
-    kernel = partial(_kernel, tuple(radices), n, tb, pretwiddle_p)
+    store_kp = pretwiddle_p if store_transposed else 0
+    if store_kp:
+        assert pretwiddle_p and tb % pretwiddle_p == 0
+    kernel = partial(_kernel, tuple(radices), n, tb, pretwiddle_p,
+                     tw_lanes, store_kp)
 
     data_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -353,12 +438,22 @@ def _make_call(n: int, radices: Sequence[int], sign: int, tb: int,
     def run(xr, xi):
         B = xr.shape[0]
         grid = (B // tb,)
-        out_shape = [jax.ShapeDtypeStruct((B, n), jnp.float32)] * 2
+        if store_kp:
+            gb = tb // store_kp
+            out_spec = pl.BlockSpec((gb, n, store_kp),
+                                    lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            out_shape = [jax.ShapeDtypeStruct((B // store_kp, n, store_kp),
+                                              jnp.float32)] * 2
+            out_specs = [out_spec, out_spec]
+        else:
+            out_shape = [jax.ShapeDtypeStruct((B, n), jnp.float32)] * 2
+            out_specs = [data_spec, data_spec]
         fn = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[data_spec, data_spec] + const_specs,
-            out_specs=[data_spec, data_spec],
+            out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
@@ -387,8 +482,6 @@ def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    consts = _stage_consts(n, radices, sign)
-    flat_consts = [c for stage in consts for c in stage]
     gmax = _inner_group(n, tl)
 
     def make_fn(pre, L):
@@ -404,7 +497,12 @@ def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
         g = 1 << (g.bit_length() - 1)
         while pre % g:
             g //= 2
-        kernel = partial(_kernel_inner, tuple(radices), n, g, tle)
+        lanes = tle if g == 1 else g * tle
+        tw_lanes = _flat_tw_lanes(n, radices, lanes)
+        consts = _stage_consts(n, radices, sign, tw_lanes)
+        flat_consts = [c for stage in consts for c in stage]
+        kernel = partial(_kernel_inner, tuple(radices), n, g, tle,
+                         tw_lanes)
         data_spec = pl.BlockSpec((g, n, tle), lambda i, j: (i, 0, j),
                                  memory_space=pltpu.VMEM)
         const_specs = [pl.BlockSpec(c.shape, lambda i, j: (0, 0),
@@ -412,7 +510,7 @@ def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
                        for c in flat_consts]
         grid = (pre // g, -(-L // tle))
         out_shape = [jax.ShapeDtypeStruct((pre, n, L), jnp.float32)] * 2
-        return pl.pallas_call(
+        return (pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[data_spec, data_spec] + const_specs,
@@ -424,11 +522,12 @@ def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
                 * grid[0] * grid[1],
                 bytes_accessed=int(4 * pre * n * L * 4),
                 transcendentals=0),
-        )
+        ), flat_consts)
 
     def run(xr, xi):
         pre, _, L = xr.shape
-        return make_fn(pre, L)(xr, xi, *flat_consts)
+        fn, consts = make_fn(pre, L)
+        return fn(xr, xi, *consts)
 
     return run
 
@@ -441,7 +540,7 @@ INNER_TILE_L = 128
 MAX_2D_POINTS = 300_000
 
 
-def _kernel_2d(rad1, rad2, n1, n2, *refs):
+def _kernel_2d(rad1, rad2, n1, n2, tw1, tw2, *refs):
     """Fused 2-D form: block (1, n1, n2); FFT over BOTH trailing axes in
     one pass.  x -> T -> stages(n2) over sublanes [n1 lanes] -> T ->
     stages(n1) [n2 lanes] -> out; the 2-D transposes live in VMEM (free).
@@ -453,10 +552,12 @@ def _kernel_2d(rad1, rad2, n1, n2, *refs):
     crefs1 = refs[2 + ncr2:-2]
     ar = jnp.transpose(xr_ref[0])          # (n2, n1)
     ai = jnp.transpose(xi_ref[0])
-    ar, ai = _stages(rad2, n2, n1, crefs2, ar, ai)   # FFT along n2
+    ar, ai = _stages(rad2, n2, n1, crefs2, ar, ai,   # FFT along n2
+                     tw_lanes=tw2)
     ar = jnp.transpose(ar)                 # (n1, K2)
     ai = jnp.transpose(ai)
-    ar, ai = _stages(rad1, n1, n2, crefs1, ar, ai)   # FFT along n1
+    ar, ai = _stages(rad1, n1, n2, crefs1, ar, ai,   # FFT along n1
+                     tw_lanes=tw1)
     yr_ref[0] = ar
     yi_ref[0] = ai
 
@@ -471,10 +572,12 @@ def _make_call_2d(n1: int, n2: int, rad1, rad2, sign: int, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    c2 = [c for st in _stage_consts(n2, rad2, sign) for c in st]
-    c1 = [c for st in _stage_consts(n1, rad1, sign) for c in st]
+    tw2 = _flat_tw_lanes(n2, rad2, n1)
+    tw1 = _flat_tw_lanes(n1, rad1, n2)
+    c2 = [c for st in _stage_consts(n2, rad2, sign, tw2) for c in st]
+    c1 = [c for st in _stage_consts(n1, rad1, sign, tw1) for c in st]
     flat_consts = c2 + c1
-    kernel = partial(_kernel_2d, tuple(rad1), tuple(rad2), n1, n2)
+    kernel = partial(_kernel_2d, tuple(rad1), tuple(rad2), n1, n2, tw1, tw2)
 
     data_spec = pl.BlockSpec((1, n1, n2), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -661,7 +764,7 @@ def build_pallas_c2c_split(desc: Dict, sign: int, rdtype):
 # (the rdft2-ct-hc2c codelet role, fftw/fftw_api.c:5552-6190, fused whole)
 # ---------------------------------------------------------------------------
 
-def _kernel_r2c(radices, n, tb, *refs):
+def _kernel_r2c(radices, n, tb, tw_lanes, *refs):
     """Block (tb, n) real in -> (tb, n//2+1) re/im out.
 
     The radix-2 DIT identity with real half-signals: A = DFT_m(even
@@ -681,8 +784,10 @@ def _kernel_r2c(radices, n, tb, *refs):
     v = jnp.transpose(x_ref[...])              # (n, tb)
     v = v.reshape(m, 2 * tb)                   # row j: [x[2j,:], x[2j+1,:]]
     zero = jnp.zeros((m, tb), jnp.float32)
-    ar, ai = _stages(radices, m, tb, crefs, v[:, :tb], zero)   # A
-    br, bi = _stages(radices, m, tb, crefs, v[:, tb:], zero)   # B
+    ar, ai = _stages(radices, m, tb, crefs, v[:, :tb], zero,   # A
+                     tw_lanes=tw_lanes)
+    br, bi = _stages(radices, m, tb, crefs, v[:, tb:], zero,   # B
+                     tw_lanes=tw_lanes)
     afr = jnp.concatenate([ar, ar[0:1]], axis=0)          # (m+1, tb)
     afi = jnp.concatenate([ai, ai[0:1]], axis=0)
     bfr = jnp.concatenate([br, br[0:1]], axis=0)
@@ -700,13 +805,14 @@ def _make_call_r2c(n: int, radices, tb: int, interpret: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     m = n // 2
-    consts = _stage_consts(m, radices, -1)
+    tw_lanes = _flat_tw_lanes(m, radices, tb)
+    consts = _stage_consts(m, radices, -1, tw_lanes)
     k = np.arange(m + 1, dtype=np.int64)
     w = np.exp(-2j * np.pi * k / n)
     flat_consts = [np.ascontiguousarray(w.real, np.float32).reshape(m + 1, 1),
                    np.ascontiguousarray(w.imag, np.float32).reshape(m + 1, 1)]
     flat_consts += [c for stage in consts for c in stage]
-    kernel = partial(_kernel_r2c, tuple(radices), n, tb)
+    kernel = partial(_kernel_r2c, tuple(radices), n, tb, tw_lanes)
 
     in_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -781,7 +887,7 @@ def build_pallas_r2c(desc: Dict, rdtype):
 # (imaginary parts of the DC/Nyquist bins drop out, matching pocketfft/FFTW)
 # ---------------------------------------------------------------------------
 
-def _kernel_c2r(radices, n, tb, *refs):
+def _kernel_c2r(radices, n, tb, tw_lanes, *refs):
     """Blocks: (tb, m+1) re/im in -> (tb, n) real out."""
     xr_ref, xi_ref = refs[0], refs[1]
     vr_ref, vi_ref = refs[2], refs[3]
@@ -792,11 +898,13 @@ def _kernel_c2r(radices, n, tb, *refs):
     xr = jnp.transpose(xr_ref[...])            # (m+1, tb)
     xi = jnp.transpose(xi_ref[...])
     xpr, xpi = xr[:m], xi[:m]                  # X' rows 0..m-1
-    pr, _pi = _stages(radices, m, tb, crefs, xpr, xpi)     # P = T_+(X')
+    pr, _pi = _stages(radices, m, tb, crefs, xpr, xpi,     # P = T_+(X')
+                      tw_lanes=tw_lanes)
     vr = vr_ref[...]                           # (m, 1)
     vi = vi_ref[...]
     hr, _hi = _stages(radices, m, tb, crefs,
-                      xpr * vr - xpi * vi, xpr * vi + xpi * vr)
+                      xpr * vr - xpi * vi, xpr * vi + xpi * vr,
+                      tw_lanes=tw_lanes)
     dc = xr[0:1]                               # Re X[0] row
     ny = xr[m:m + 1]                           # Re X[m] row
     ye = 2.0 * pr + ny - dc                    # (m, tb)
@@ -810,13 +918,14 @@ def _make_call_c2r(n: int, radices, tb: int, interpret: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     m = n // 2
-    consts = _stage_consts(m, radices, +1)     # T_+ stages
+    tw_lanes = _flat_tw_lanes(m, radices, tb)
+    consts = _stage_consts(m, radices, +1, tw_lanes)     # T_+ stages
     k = np.arange(m, dtype=np.int64)
     v = np.exp(2j * np.pi * k / n)
     flat_consts = [np.ascontiguousarray(v.real, np.float32).reshape(m, 1),
                    np.ascontiguousarray(v.imag, np.float32).reshape(m, 1)]
     flat_consts += [c for stage in consts for c in stage]
-    kernel = partial(_kernel_c2r, tuple(radices), n, tb)
+    kernel = partial(_kernel_c2r, tuple(radices), n, tb, tw_lanes)
 
     in_spec = pl.BlockSpec((tb, m + 1), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -930,8 +1039,13 @@ def build_pallas_c2c_split_fourstep(desc: Dict, sign: int, rdtype):
     else:
         interpret = False
     tb = 128
+    # fused transposed store only at p == 128: the (g, q, p) out block's
+    # lane dim is p, and narrow lanes make the store a net loss (measured
+    # same-session: p=32 fused 187 vs 133 ps/pt; p=128 fused 143 vs 165)
+    fstore = (p == tb)
     inner = _make_call_inner(p, rad_p, sign, INNER_TILE_L, interpret)
-    outer = _make_call(q, rad_q, sign, tb, interpret, pretwiddle_p=p)
+    outer = _make_call(q, rad_q, sign, tb, interpret, pretwiddle_p=p,
+                       store_transposed=fstore)
     adj = [None]
 
     def _run(xr, xi, calls):
@@ -951,6 +1065,12 @@ def build_pallas_c2c_split_fourstep(desc: Dict, sign: int, rdtype):
         ar2 = ar.reshape(Bp * p, q)
         ai2 = ai.reshape(Bp * p, q)
         zr, zi = c_out(ar2, ai2)                   # twiddle + FFT over q
+        if fstore:
+            # emitted (Bp, q, p): X[k1 + p*k2] at [b, k2, k1] — the
+            # k2-major flatten is a free reshape
+            zr = zr.reshape(Bp, n)[:B].reshape(*lead, n)
+            zi = zi.reshape(Bp, n)[:B].reshape(*lead, n)
+            return zr, zi
         zr = zr.reshape(Bp, p, q)[:B]
         zi = zi.reshape(Bp, p, q)[:B]
         # X[k1 + p*k2] lives at [k1, k2] -> k2-major flatten
@@ -970,7 +1090,7 @@ def build_pallas_c2c_split_fourstep(desc: Dict, sign: int, rdtype):
             adj[0] = (_make_call_inner(p, rad_p, -sign, INNER_TILE_L,
                                        interpret),
                       _make_call(q, rad_q, -sign, tb, interpret,
-                                 pretwiddle_p=p))
+                                 pretwiddle_p=p, store_transposed=fstore))
         return _run(g[0], g[1], adj[0])
 
     apply.defvjp(fwd, bwd)

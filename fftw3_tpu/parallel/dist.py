@@ -183,15 +183,125 @@ def _sync_choice(choice: str, methods: Sequence[str]) -> str:
 
 
 def _resolve_transpose(method: str, mesh: Mesh, axis_name: str,
-                       shape, dtype):
+                       shape, dtype, exchange_local=None):
     """Resolve a transpose algorithm name; "measure" times the registered
     algorithms on the actual mesh and picks (the reference planner times
-    its three MPI transpose solvers per problem, SURVEY.md section 5)."""
+    its three MPI transpose solvers per problem, SURVEY.md section 5).
+
+    ``exchange_local`` is the ACTUAL local array shape at the exchange
+    point, sharded dim first and the split dim last (post-r2c halving,
+    six-step matrix view, ragged padding all included) — without it the
+    timing falls back to a guessed slab shape."""
     if method == "measure":
         nproc = mesh.shape[axis_name]
-        local = (max(nproc, shape[0] // nproc),) + tuple(shape[1:])
-        method = measure_transpose_method(mesh, axis_name, local, dtype)
+        if exchange_local is None:
+            exchange_local = (max(nproc, shape[0] // nproc),) \
+                + tuple(shape[1:])
+        method = measure_transpose_method(mesh, axis_name, exchange_local,
+                                          dtype)
     return _TRANSPOSE_IMPLS[method]
+
+
+def _measure_whole_plans(tag: str, build, params_list, in_dtype):
+    """Whole-plan MEASURE for the distributed tier: time COMPLETE candidate
+    DistPlans (not just the transpose collective) and memoize the winning
+    parameter set in the planner's wisdom.  The reference planner times
+    complete MPI plans the same way — slab layout, transpose algorithm and
+    radix all compete inside one search (``fftw/mpi/conf.c:28-52``).
+
+    All processes agree on the winner (process 0's choice is broadcast),
+    mirroring the wisdom-vote hooks of ``mpi/api.c:60-130``.
+    """
+    from .. import planner as planner_mod
+    from ..utils import timing
+
+    pl = planner_mod.the_planner
+    key = f"dist:{tag}:{planner_mod._device_signature()}"
+    hit = pl.wisdom.get(key)
+    if isinstance(hit, dict) and hit.get("desc") in params_list:
+        pl.stats["nwisdom_hit"] += 1
+        return hit["desc"]
+    best_i, best_t = 0, float("inf")
+    for i, prm in enumerate(params_list):
+        try:
+            plan = build(**prm)
+            # build the timing input ON device inside a jit: complex
+            # arrays cannot cross some host<->device transports
+            x = jax.jit(lambda: jnp.zeros(plan.global_shape, in_dtype),
+                        out_shardings=plan.input_sharding())()
+            t = timing.time_dispatched(plan.apply, (x,), k1=2, k2=8,
+                                       reps=2)
+            pl.stats["nmeasure"] += 1
+        except Exception as e:                         # noqa: BLE001
+            pl.stats["nmeasure_failed"] = \
+                pl.stats.get("nmeasure_failed", 0) + 1
+            pl.stats["last_measure_error"] = \
+                f"dist {prm}: {type(e).__name__}: {e}"[:300]
+            continue
+        if t < best_t:
+            best_i, best_t = i, t
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        best_i = int(multihost_utils.broadcast_one_to_all(
+            np.int32(best_i)))
+    best = params_list[best_i]
+    pl.wisdom[key] = {"desc": best, "patience": K.PATIENCE_MEASURE}
+    return best
+
+
+def _transpose_method_candidates(nproc: int):
+    out = ["all_to_all", "ppermute"]
+    if nproc & (nproc - 1) == 0:
+        out.append("recurse")
+    return out
+
+
+def _pad_ax(x, axis, amount):
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, amount)
+    return jnp.pad(x, pads)
+
+
+def _crop_ax(x, axis, size):
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(0, size)
+    return x[tuple(sl)]
+
+
+def _sharded_axis_fft(x, *, transpose, axis_name, shard_axis, swap,
+                      n_shard, pad0, n_swap, pad1, fn_shard,
+                      skip_back=False):
+    """The global-transpose + sharded-axis-FFT + transpose-back phase every
+    slab solver shares.  Ragged extents (pad0/pad1 > 0) are padded only for
+    the collectives; the FFT itself always runs at the true n_shard
+    (mpi/block.c short-last-block analog, realized as pad-and-crop)."""
+    if pad1:
+        x = _pad_ax(x, swap, pad1)         # swap axis is locally whole here
+    x = transpose(x, axis_name, split_axis=swap, concat_axis=shard_axis)
+    if pad0:
+        x = _crop_ax(x, shard_axis, n_shard)
+    x = _apply_along(fn_shard, x, shard_axis)
+    if not skip_back:
+        if pad0:
+            x = _pad_ax(x, shard_axis, pad0)
+        x = transpose(x, axis_name, split_axis=shard_axis, concat_axis=swap)
+        if pad1:
+            x = _crop_ax(x, swap, n_swap)
+    return x
+
+
+def _ragged_pre_post(ndim, shard_axis, pad0, out_axis, out_n, out_padded):
+    """(pre, post) jit-level wrappers: pad the sharded input axis so the
+    shard_map program sees even blocks; crop the output back to the true
+    extent.  Either may be None."""
+    pre = post = None
+    if pad0:
+        def pre(x):
+            return _pad_ax(x, shard_axis, pad0)
+    if out_padded:
+        def post(y):
+            return _crop_ax(y, out_axis, out_n)
+    return pre, post
 
 
 def _spec_with_vectors(ndim: int, main_dim: Optional[int], axis_name: str,
@@ -216,17 +326,34 @@ def _spec_with_vectors(ndim: int, main_dim: Optional[int], axis_name: str,
 
 
 class DistPlan:
-    """Executable distributed plan over global jax.Arrays."""
+    """Executable distributed plan over global jax.Arrays.
+
+    ``pre``/``post`` run OUTSIDE the shard_map (inside the jit): the
+    ragged-block plans (extents not divisible by the mesh axis,
+    ``mpi/block.c`` short-last-block analog) pad the sharded input axis up
+    to a multiple there and crop the output back."""
 
     def __init__(self, fn: Callable, mesh: Mesh, in_spec: P, out_spec: P,
-                 global_shape: Tuple[int, ...], desc: str):
+                 global_shape: Tuple[int, ...], desc: str,
+                 pre: Optional[Callable] = None,
+                 post: Optional[Callable] = None):
         self.mesh = mesh
         self.in_spec = in_spec
         self.out_spec = out_spec
         self.global_shape = global_shape
         self.desc = desc
-        self._fn = jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=in_spec,
-                                         out_specs=out_spec))
+        self._ragged_in = pre is not None
+        inner = jax.shard_map(fn, mesh=mesh, in_specs=in_spec,
+                              out_specs=out_spec)
+        if pre is None and post is None:
+            self._fn = jax.jit(inner)
+        else:
+            def outer(x):
+                if pre is not None:
+                    x = pre(x)
+                y = inner(x)
+                return y if post is None else post(y)
+            self._fn = jax.jit(outer)
 
     def __call__(self, x):
         return self._fn(x)
@@ -236,6 +363,11 @@ class DistPlan:
         return self._fn
 
     def input_sharding(self) -> NamedSharding:
+        if self._ragged_in:
+            # a ragged sharded extent cannot be device_put evenly; the
+            # plan pads inside its jit and reshards there (one extra ICI
+            # distribution pass — the ragged-block price)
+            return NamedSharding(self.mesh, P())
         return NamedSharding(self.mesh, self.in_spec)
 
     def output_sharding(self) -> NamedSharding:
@@ -252,8 +384,8 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
                   dtype="complex64",
                   transpose_method: str = "all_to_all",
                   overlap_chunks: Optional[int] = None,
-                  vector_shardings: Optional[Dict[int, str]] = None
-                  ) -> DistPlan:
+                  vector_shardings: Optional[Dict[int, str]] = None,
+                  _skip_measure: bool = False) -> DistPlan:
     """Slab-decomposed distributed c2c DFT, rank >= 1.
 
     `shape` is the global array shape; the array is sharded along
@@ -285,9 +417,6 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
         else np.float64
     patience = K.patience_of_flags(flags)
     pl = planner_mod.the_planner
-    transpose = _resolve_transpose(transpose_method, mesh,
-                                   axis_name, shape,
-                                   np.complex64)
 
     if vector_shardings:
         for d in vector_shardings:
@@ -297,10 +426,30 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
     in_spec = _spec_with_vectors(ndim, shard_axis, axis_name,
                                  vector_shardings)
 
+    if (patience >= K.PATIENCE_MEASURE and not _skip_measure
+            and shard_axis in axes and len(axes) >= 2):
+        # whole-plan MEASURE: complete candidates over transpose method x
+        # overlap depth compete (fftw/mpi/conf.c:28-52 analog)
+        chunks = sorted({1, 2, 4} | {overlap_chunks or 1})
+        params = [{"transpose_method": m, "overlap_chunks": c}
+                  for m in _transpose_method_candidates(nproc)
+                  for c in chunks]
+
+        def build(**prm):
+            return plan_dft_dist(shape, mesh, axis_name, axes, sign,
+                                 shard_axis, transposed_out, K.ESTIMATE,
+                                 dtype, vector_shardings=vector_shardings,
+                                 _skip_measure=True, **prm)
+        tag = (f"slab:{shape}:{axes}:{shard_axis}:{sign}:"
+               f"{int(transposed_out)}:{tuple(mesh.shape.items())}")
+        best = _measure_whole_plans(tag, build, params, np.dtype(dtype))
+        return plan_dft_dist(shape, mesh, axis_name, axes, sign,
+                             shard_axis, transposed_out, flags, dtype,
+                             vector_shardings=vector_shardings,
+                             _skip_measure=True, **best)
+
     if shard_axis not in axes:
         # batch-sharded: all transform axes local (dft-rank1-bigvec analog)
-        local_shape = list(shape)
-        local_shape[shard_axis] //= nproc
         builders = [(a, c2c_ops.build_c2c(pl.plan_c2c(shape[a], rdtype,
                                                       patience), sign, rdtype))
                     for a in axes]
@@ -309,23 +458,43 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
             for a, fn in builders:
                 x = _apply_along(fn, x, a)
             return x
+        padb = (-shape[shard_axis]) % nproc
+        pre = post = None
+        if padb:                       # ragged batch blocks: pad-and-crop
+            def pre(x):
+                pads = [(0, 0)] * len(shape)
+                pads[shard_axis] = (0, padb)
+                return jnp.pad(x, pads)
+
+            def post(y):
+                sl = [slice(None)] * len(shape)
+                sl[shard_axis] = slice(0, shape[shard_axis])
+                return y[tuple(sl)]
         return DistPlan(local_fn, mesh, in_spec, in_spec, shape,
-                        "bigvec-local")
+                        "bigvec-local" + ("-ragged" if padb else ""),
+                        pre=pre, post=post)
 
     if len(axes) == 1:
         return _plan_six_step(shape, mesh, axis_name, axes[0], sign,
-                              flags, rdtype, transpose, in_spec,
+                              flags, rdtype, transpose_method, in_spec,
                               scrambled_out=transposed_out)
 
-    if shape[shard_axis] % nproc:
-        raise ValueError(f"shard axis extent {shape[shard_axis]} not "
-                         f"divisible by mesh size {nproc}")
+    # ragged blocks (mpi/block.c analog): extents not divisible by the
+    # mesh axis are padded up to a multiple for the shard_map program;
+    # the transforms themselves always run at the true sizes (crop/pad
+    # around the sharded-axis FFT), and the output is cropped back.
+    pad0 = (-shape[shard_axis]) % nproc
     # pick the swap axis: another transform axis (prefer the next one)
     others = [a for a in axes if a != shard_axis]
     swap = others[0]
-    if shape[swap] % nproc:
-        raise ValueError(f"swap axis extent {shape[swap]} not divisible "
-                         f"by mesh size {nproc}")
+    pad1 = (-shape[swap]) % nproc
+    # "measure" times the candidates at the ACTUAL exchange-time local
+    # shape: padded shard rows over P, other dims, padded swap extent last
+    rest = [shape[i] for i in range(ndim) if i not in (shard_axis, swap)]
+    transpose = _resolve_transpose(
+        transpose_method, mesh, axis_name, shape, np.complex64,
+        exchange_local=((shape[shard_axis] + pad0) // nproc, *rest,
+                        shape[swap] + pad1))
 
     # local plans: transform axes != shard_axis on the local slab, then the
     # shard axis after the global transpose
@@ -347,13 +516,15 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
         if chunk_axis is None:
             overlap_chunks = 1
 
+    n0 = shape[shard_axis]
+    n1 = shape[swap]
+
     def _exchange_and_fft(x):
-        x = transpose(x, axis_name, split_axis=swap, concat_axis=shard_axis)
-        x = _apply_along(fn_shard, x, shard_axis)
-        if not transposed_out:
-            x = transpose(x, axis_name, split_axis=shard_axis,
-                          concat_axis=swap)
-        return x
+        return _sharded_axis_fft(
+            x, transpose=transpose, axis_name=axis_name,
+            shard_axis=shard_axis, swap=swap, n_shard=n0, pad0=pad0,
+            n_swap=n1, pad1=pad1, fn_shard=fn_shard,
+            skip_back=transposed_out)
 
     def local_fn(x):
         # 1. FFT over all locally-complete transform axes
@@ -369,9 +540,17 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
     out_axis = swap if transposed_out else shard_axis
     out_spec = _spec_with_vectors(ndim, out_axis, axis_name,
                                   vector_shardings)
+    crop_ax, crop_n = ((shard_axis, n0) if not transposed_out
+                       else (swap, n1))
+    pre, post = _ragged_pre_post(
+        ndim, shard_axis, pad0, crop_ax, crop_n,
+        out_padded=(pad0 and not transposed_out)
+        or (pad1 and transposed_out))
     return DistPlan(local_fn, mesh, in_spec, out_spec, shape,
                     f"slab[{transpose_method}]"
-                    + ("-transposed_out" if transposed_out else ""))
+                    + ("-transposed_out" if transposed_out else "")
+                    + ("-ragged" if pad0 or pad1 else ""),
+                    pre=pre, post=post)
 
 
 def plan_dft_1d_dist(n: int, mesh: Mesh, axis_name: str = "x",
@@ -384,16 +563,29 @@ def plan_dft_1d_dist(n: int, mesh: Mesh, axis_name: str = "x",
     shape = tuple(batch_shape) + (n,)
     rdtype = np.float32 if np.dtype(dtype) in (np.complex64, np.float32) \
         else np.float64
-    transpose = _resolve_transpose(transpose_method, mesh,
-                                   axis_name, shape,
-                                   np.complex64)
     in_spec = P(*([None] * len(batch_shape) + [axis_name]))
     return _plan_six_step(shape, mesh, axis_name, len(shape) - 1, sign,
-                          flags, rdtype, transpose, in_spec, scrambled_out)
+                          flags, rdtype, transpose_method, in_spec,
+                          scrambled_out)
+
+
+def _six_step_radix_candidates(n: int, nproc: int, k: int = 3):
+    """Top-k radix choices R (balance-ranked, exact splits first) for
+    whole-plan MEASURE (mpi/choose-radix.c candidates, planner-timed)."""
+    from ..utils import primes
+    cands = []
+    for R in primes.divisors(n):
+        C = n // R
+        if C % nproc or R < 2 or C < 2:
+            continue
+        cands.append((R % nproc != 0, abs(np.log2(R * R / n)), R))
+    cands.sort()
+    return [R for _, _, R in cands[:k]]
 
 
 def _plan_six_step(shape, mesh, axis_name, axis, sign, flags, rdtype,
-                   transpose, in_spec, scrambled_out):
+                   transpose_method, in_spec, scrambled_out,
+                   radix_R=None, _skip_measure=False):
     """Six-step 1-D DFT over a sharded axis: n = R*C viewed as an (R, C)
     matrix; out[c + R*d] = F_C_d( w^{rc} * F_R_c(x[r, c]) ) (four-step
     identity; radix choice analog of mpi/choose-radix.c)."""
@@ -404,9 +596,39 @@ def _plan_six_step(shape, mesh, axis_name, axis, sign, flags, rdtype,
     nproc = mesh.shape[axis_name]
     patience = K.patience_of_flags(flags)
     pl = planner_mod.the_planner
-    # choose R ~ sqrt(n) with nproc | R and nproc | C
-    R = _choose_six_step_radix(n, nproc)
+    if patience >= K.PATIENCE_MEASURE and not _skip_measure:
+        # whole-plan MEASURE: radix R and transpose method compete as
+        # complete plans (fftw/mpi/conf.c + choose-radix, planner-timed)
+        params = [{"radix_R": r, "transpose_method": m}
+                  for r in _six_step_radix_candidates(n, nproc)
+                  for m in _transpose_method_candidates(nproc)]
+        if len(params) > 1:
+            ctype = c2c_ops.complex_dtype(rdtype)
+
+            def build(**prm):
+                return _plan_six_step(shape, mesh, axis_name, axis, sign,
+                                      K.ESTIMATE, rdtype,
+                                      in_spec=in_spec,
+                                      scrambled_out=scrambled_out,
+                                      _skip_measure=True, **prm)
+            tag = (f"sixstep:{shape}:{sign}:{int(scrambled_out)}:"
+                   f"{tuple(mesh.shape.items())}")
+            best = _measure_whole_plans(tag, build, params, ctype)
+            return _plan_six_step(shape, mesh, axis_name, axis, sign,
+                                  flags, rdtype, in_spec=in_spec,
+                                  scrambled_out=scrambled_out,
+                                  _skip_measure=True, **best)
+    # choose R ~ sqrt(n) with nproc | C (nproc | R preferred; otherwise the
+    # row dimension is ragged and padded below)
+    R = radix_R if radix_R is not None else _choose_six_step_radix(n, nproc)
     C = n // R
+    Rp = R + ((-R) % nproc)            # padded row count (ragged blocks)
+    if Rp != R and scrambled_out:
+        raise ValueError("SCRAMBLED_OUT needs nproc | R; this (n, nproc) "
+                         "pair is ragged — use natural output")
+    transpose = _resolve_transpose(
+        transpose_method, mesh, axis_name, shape, np.complex64,
+        exchange_local=(Rp // nproc, C))   # the actual matrix-view block
     pl_R = c2c_ops.build_c2c(pl.plan_c2c(R, rdtype, patience), sign, rdtype)
     pl_C = c2c_ops.build_c2c(pl.plan_c2c(C, rdtype, patience), sign, rdtype)
     ctype = c2c_ops.complex_dtype(rdtype)
@@ -417,17 +639,24 @@ def _plan_six_step(shape, mesh, axis_name, axis, sign, flags, rdtype,
     nb = len(shape) - 1
 
     def local_fn(x, wr, wi):
-        # x local: batch + (n/P,) == batch + (R/P, C) rows of the matrix
+        # x local: batch + (Rp*C/P,) == batch + (Rp/P, C) rows of the
+        # (possibly row-padded) matrix view
         w = wr + 1j * wi          # combined on-device (complex arrays
         bshape = x.shape[:-1]     # cannot cross some host<->TPU transports)
-        x = x.reshape(*bshape, R // nproc, C)
-        # step 1: transpose -> (R, C/P): gather rows, scatter cols
+        x = x.reshape(*bshape, Rp // nproc, C)
+        # step 1: transpose -> (Rp, C/P): gather rows, scatter cols
         x = transpose(x, axis_name, split_axis=nb + 1, concat_axis=nb)
+        if Rp != R:               # ragged: the DFT runs at the TRUE size
+            x = jax.lax.slice_in_dim(x, 0, R, axis=nb)
         # step 2: DFT_R down the rows (axis nb), batched over local cols
         x = _apply_along(pl_R, x, nb)
         # step 3: twiddle w^{rc} (w is the local C/P-slice of W)
         x = x * w
-        # step 4: transpose back -> (R/P, C)
+        if Rp != R:
+            pads = [(0, 0)] * x.ndim
+            pads[nb] = (0, Rp - R)
+            x = jnp.pad(x, pads)
+        # step 4: transpose back -> (Rp/P, C)
         x = transpose(x, axis_name, split_axis=nb, concat_axis=nb + 1)
         # step 5: DFT_C along the rows (axis nb+1, local)
         x = _apply_along(pl_C, x, nb + 1)
@@ -437,8 +666,10 @@ def _plan_six_step(shape, mesh, axis_name, axis, sign, flags, rdtype,
             return x.reshape(*bshape, (R // nproc) * C)
         # step 6: local transpose (c,d)->(d,c) + global transpose for the
         # natural contiguous-k sharding
-        x = jnp.swapaxes(x, nb, nb + 1)                  # (C, R/P)
+        x = jnp.swapaxes(x, nb, nb + 1)                  # (C, Rp/P)
         x = transpose(x, axis_name, split_axis=nb, concat_axis=nb + 1)
+        if Rp != R:               # drop the pad columns: exact n output
+            x = jax.lax.slice_in_dim(x, 0, R, axis=nb + 1)
         return x.reshape(*bshape, C // nproc * R)
 
     w_spec = P(*([None] * nb + [None, axis_name]))
@@ -450,8 +681,12 @@ def _plan_six_step(shape, mesh, axis_name, axis, sign, flags, rdtype,
             self.in_spec = in_spec
             self.out_spec = out_spec
             self.global_shape = shape
+            # nproc | C and n = R*C, so the flat input axis always shards
+            # evenly — even when the row dimension R is ragged
+            self._ragged_in = False
             self.desc = f"six-step R={R} C={C}" + \
-                (" scrambled" if scrambled_out else "")
+                (" scrambled" if scrambled_out else "") + \
+                (" ragged" if Rp != R else "")
             inner = jax.shard_map(local_fn, mesh=mesh,
                                   in_specs=(in_spec, w_spec, w_spec),
                                   out_specs=out_spec)
@@ -463,26 +698,43 @@ def _plan_six_step(shape, mesh, axis_name, axis, sign, flags, rdtype,
                 np.ascontiguousarray(W.real, rdt).reshape(wshape), sh)
             wi = jax.device_put(
                 np.ascontiguousarray(W.imag, rdt).reshape(wshape), sh)
-            self._fn = jax.jit(lambda x: inner(x, wr, wi))
+            if Rp == R:
+                self._fn = jax.jit(lambda x: inner(x, wr, wi))
+            else:
+                pads = [(0, 0)] * (nb + 1)
+                pads[-1] = (0, (Rp - R) * C)   # row pad IS a suffix pad
+
+                def padded(x):
+                    return inner(jnp.pad(x, pads), wr, wi)
+                self._fn = jax.jit(padded)
 
     return _SixStep()
 
 
 def _choose_six_step_radix(n: int, nproc: int) -> int:
-    """R ~ sqrt(n) with nproc | R and nproc | n/R (mpi/choose-radix.c)."""
+    """R ~ sqrt(n) with nproc | n/R (mpi/choose-radix.c analog).  An exact
+    nproc | R split is preferred; otherwise the row dimension is ragged
+    and the plan pads it (mpi/block.c short-last-block analog)."""
     from ..utils import primes
-    best = None
+    best_exact = None
+    best_ragged = None
     for R in primes.divisors(n):
         C = n // R
-        if R % nproc or C % nproc:
+        if C % nproc or R < 2 or C < 2:
             continue
         score = abs(np.log2(R * R / n))
-        if best is None or score < best[0]:
-            best = (score, R)
-    if best is None:
-        raise ValueError(f"six-step needs {nproc}^2 | {n} (choose a padded "
-                         f"size or a smaller mesh)")
-    return best[1]
+        if R % nproc == 0:
+            if best_exact is None or score < best_exact[0]:
+                best_exact = (score, R)
+        else:
+            if best_ragged is None or score < best_ragged[0]:
+                best_ragged = (score, R)
+    if best_exact is not None:
+        return best_exact[1]
+    if best_ragged is not None:
+        return best_ragged[1]
+    raise ValueError(f"six-step needs a divisor C of {n} with {nproc} | C "
+                     f"(choose a padded size or a smaller mesh)")
 
 
 def _apply_along(fn, x, axis):
@@ -597,15 +849,18 @@ def plan_transpose(n0: int, n1: int, mesh: Mesh, axis_name: str = "x",
 
 def _pick_swap(shape, axes, shard_axis, last, nproc, cshape):
     """Choose the axis that trades places with shard_axis in the global
-    transpose; prefer a full (non-halved) transform axis."""
-    for a in axes:
-        if a not in (shard_axis, last) and cshape[a] % nproc == 0:
+    transpose; prefer a full (non-halved) transform axis, and among those
+    an evenly-divisible one (a ragged swap costs a pad-and-crop)."""
+    cands = [a for a in axes if a not in (shard_axis, last)]
+    if last != shard_axis:
+        cands.append(last)
+    if not cands:
+        raise ValueError("need a second transform axis to trade places "
+                         "with the sharded axis")
+    for a in cands:
+        if cshape[a] % nproc == 0:
             return a
-    if last != shard_axis and cshape[last] % nproc == 0:
-        return last
-    raise ValueError(
-        f"no transform axis with extent divisible by mesh size {nproc} "
-        f"(complex shape {cshape}); pad or choose another mesh")
+    return cands[0]
 
 
 def plan_dft_r2c_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
@@ -638,9 +893,6 @@ def plan_dft_r2c_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
         else np.float64
     patience = K.patience_of_flags(flags)
     pl = planner_mod.the_planner
-    transpose = _resolve_transpose(transpose_method, mesh,
-                                   axis_name, shape,
-                                   np.complex64)
 
     cshape = list(shape)
     cshape[last] = shape[last] // 2 + 1
@@ -657,29 +909,49 @@ def plan_dft_r2c_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
         shard_fn = c2c_ops.build_c2c(
             pl.plan_c2c(shape[shard_axis], rdtype, patience), K.FORWARD,
             rdtype)
+        pad0 = (-cshape[shard_axis]) % nproc
+        pad1 = (-cshape[swap]) % nproc
+        rest = [cshape[i] for i in range(ndim)
+                if i not in (shard_axis, swap)]
+        transpose = _resolve_transpose(
+            transpose_method, mesh, axis_name, shape, np.complex64,
+            exchange_local=((cshape[shard_axis] + pad0) // nproc, *rest,
+                            cshape[swap] + pad1))
     else:
         swap = None
         shard_fn = None
+        pad0 = (-shape[shard_axis]) % nproc    # ragged batch blocks
+        pad1 = 0
+        transpose = None
 
     def local_fn(x):
         x = _apply_along(r2c_fn, x, last)                 # halved, complex
         for a, fn in mid_fns:
             x = _apply_along(fn, x, a)
         if swap is not None:
-            x = transpose(x, axis_name, split_axis=swap,
-                          concat_axis=shard_axis)
-            x = _apply_along(shard_fn, x, shard_axis)
-            if not transposed_out:
-                x = transpose(x, axis_name, split_axis=shard_axis,
-                              concat_axis=swap)
+            x = _sharded_axis_fft(
+                x, transpose=transpose, axis_name=axis_name,
+                shard_axis=shard_axis, swap=swap,
+                n_shard=cshape[shard_axis], pad0=pad0,
+                n_swap=cshape[swap], pad1=pad1, fn_shard=shard_fn,
+                skip_back=transposed_out)
         return x
 
     out_axis = shard_axis if (swap is None or not transposed_out) else swap
     out_spec = P(*[axis_name if i == out_axis else None
                    for i in range(ndim)])
+    crop_ax, crop_n = ((shard_axis, cshape[shard_axis])
+                       if out_axis == shard_axis
+                       else (swap, cshape[swap]))
+    pre, post = _ragged_pre_post(
+        ndim, shard_axis, pad0, crop_ax, crop_n,
+        out_padded=(pad0 and out_axis == shard_axis)
+        or (swap is not None and pad1 and out_axis == swap))
     return DistPlan(local_fn, mesh, in_spec, out_spec, tuple(cshape),
                     f"r2c-slab[{transpose_method}]"
-                    + ("-transposed_out" if transposed_out else ""))
+                    + ("-transposed_out" if transposed_out else "")
+                    + ("-ragged" if pad0 or pad1 else ""),
+                    pre=pre, post=post)
 
 
 def plan_dft_c2r_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
@@ -706,9 +978,6 @@ def plan_dft_c2r_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
         else np.float64
     patience = K.patience_of_flags(flags)
     pl = planner_mod.the_planner
-    transpose = _resolve_transpose(transpose_method, mesh,
-                                   axis_name, shape,
-                                   np.complex64)
 
     cshape = list(shape)
     cshape[last] = shape[last] // 2 + 1
@@ -725,22 +994,37 @@ def plan_dft_c2r_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
         shard_fn = c2c_ops.build_c2c(
             pl.plan_c2c(shape[shard_axis], rdtype, patience), K.BACKWARD,
             rdtype)
+        pad0 = (-cshape[shard_axis]) % nproc
+        pad1 = (-cshape[swap]) % nproc
+        rest = [cshape[i] for i in range(ndim)
+                if i not in (shard_axis, swap)]
+        transpose = _resolve_transpose(
+            transpose_method, mesh, axis_name, shape, np.complex64,
+            exchange_local=((cshape[shard_axis] + pad0) // nproc, *rest,
+                            cshape[swap] + pad1))
     else:
         swap, shard_fn = None, None
+        pad0 = (-shape[shard_axis]) % nproc
+        pad1 = 0
+        transpose = None
 
     def local_fn(x):
         if swap is not None:
-            x = transpose(x, axis_name, split_axis=swap,
-                          concat_axis=shard_axis)
-            x = _apply_along(shard_fn, x, shard_axis)
-            x = transpose(x, axis_name, split_axis=shard_axis,
-                          concat_axis=swap)
+            x = _sharded_axis_fft(
+                x, transpose=transpose, axis_name=axis_name,
+                shard_axis=shard_axis, swap=swap,
+                n_shard=cshape[shard_axis], pad0=pad0,
+                n_swap=cshape[swap], pad1=pad1, fn_shard=shard_fn)
         for a, fn in mid_fns:
             x = _apply_along(fn, x, a)
         return _apply_along(c2r_fn, x, last)
 
+    pre, post = _ragged_pre_post(ndim, shard_axis, pad0, shard_axis,
+                                 shape[shard_axis], out_padded=bool(pad0))
     return DistPlan(local_fn, mesh, in_spec, in_spec, shape,
-                    f"c2r-slab[{transpose_method}]")
+                    f"c2r-slab[{transpose_method}]"
+                    + ("-ragged" if pad0 or pad1 else ""),
+                    pre=pre, post=post)
 
 
 def plan_r2r_dist(shape: Sequence[int], kinds, mesh: Mesh,
@@ -768,45 +1052,57 @@ def plan_r2r_dist(shape: Sequence[int], kinds, mesh: Mesh,
     rdtype = np.float32 if np.dtype(dtype) == np.float32 else np.float64
     patience = K.patience_of_flags(flags)
     pl = planner_mod.the_planner
-    transpose = _resolve_transpose(transpose_method, mesh,
-                                   axis_name, shape,
-                                   np.complex64)
 
     in_spec = P(*[axis_name if i == shard_axis else None
                   for i in range(ndim)])
     fns = {a: r2r_ops.build_r2r(pl.plan_r2r(k, shape[a], rdtype, patience),
                                 rdtype) for a, k in zip(axes, ks)}
     if shard_axis in axes:
-        others = [a for a in axes if a != shard_axis and
-                  shape[a] % nproc == 0]
+        others = [a for a in axes if a != shard_axis]
         if not others:
-            raise ValueError("need a second transform axis divisible by "
-                             f"mesh size {nproc}")
+            raise ValueError("need a second transform axis to trade "
+                             "places with the sharded axis")
+        others.sort(key=lambda a: shape[a] % nproc != 0)   # even first
         swap = others[0]
-        if shape[shard_axis] % nproc:
-            raise ValueError(f"shard axis extent {shape[shard_axis]} not "
-                             f"divisible by {nproc}")
+        pad0 = (-shape[shard_axis]) % nproc
+        pad1 = (-shape[swap]) % nproc
+        rest = [shape[i] for i in range(ndim)
+                if i not in (shard_axis, swap)]
+        transpose = _resolve_transpose(
+            transpose_method, mesh, axis_name, shape, np.float32,
+            exchange_local=((shape[shard_axis] + pad0) // nproc, *rest,
+                            shape[swap] + pad1))
     else:
         swap = None
+        pad0 = (-shape[shard_axis]) % nproc
+        pad1 = 0
+        transpose = None
 
     def local_fn(x):
         for a in axes:
             if a != shard_axis:
                 x = _apply_along(fns[a], x, a)
         if swap is not None:
-            x = transpose(x, axis_name, split_axis=swap,
-                          concat_axis=shard_axis)
-            x = _apply_along(fns[shard_axis], x, shard_axis)
-            if not transposed_out:
-                x = transpose(x, axis_name, split_axis=shard_axis,
-                              concat_axis=swap)
+            x = _sharded_axis_fft(
+                x, transpose=transpose, axis_name=axis_name,
+                shard_axis=shard_axis, swap=swap,
+                n_shard=shape[shard_axis], pad0=pad0,
+                n_swap=shape[swap], pad1=pad1,
+                fn_shard=fns[shard_axis], skip_back=transposed_out)
         return x
 
     out_axis = swap if (swap is not None and transposed_out) else shard_axis
     out_spec = P(*[axis_name if i == out_axis else None
                    for i in range(ndim)])
+    crop_ax, crop_n = out_axis, shape[out_axis]
+    pre, post = _ragged_pre_post(
+        ndim, shard_axis, pad0, crop_ax, crop_n,
+        out_padded=(pad0 and out_axis == shard_axis)
+        or (swap is not None and pad1 and out_axis == swap))
     return DistPlan(local_fn, mesh, in_spec, out_spec, shape,
-                    f"r2r-slab[{transpose_method}]")
+                    f"r2r-slab[{transpose_method}]"
+                    + ("-ragged" if pad0 or pad1 else ""),
+                    pre=pre, post=post)
 
 
 # ---------------------------------------------------------------------------

@@ -246,3 +246,225 @@ class TestFastReodft:
         d = pl.plan_r2r(K.Kind.REDFT11, 8193, np.float32,
                         K.PATIENCE_ESTIMATE)
         assert d["alg"] == "redft11_odd"
+
+
+class TestRaggedDistribution:
+    """VERDICT #7: extents not divisible by the mesh axis work via internal
+    pad-and-crop (mpi/block.c short-last-block analog)."""
+
+    def _mesh(self, p=4):
+        import jax
+        from jax.sharding import Mesh
+        return Mesh(np.asarray(jax.devices()[:p]), ("x",))
+
+    def test_slab_ragged_shard_axis(self, rng):
+        import jax
+
+        from fftw3_tpu.parallel import plan_dft_dist
+        mesh = self._mesh(4)
+        shape = (10, 12, 6)                      # 4 divides neither 10 nor 6
+        plan = plan_dft_dist(shape, mesh, "x", axes=(0, 1, 2))
+        x = (rng.standard_normal(shape) +
+             1j * rng.standard_normal(shape)).astype(np.complex64)
+        y = np.asarray(plan(jax.device_put(x, plan.input_sharding())))
+        ref = np.fft.fftn(x.astype(np.complex128))
+        assert y.shape == shape
+        assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-5
+
+    def test_slab_ragged_swap_axis_transposed_out(self, rng):
+        import jax
+
+        from fftw3_tpu.parallel import plan_dft_dist
+        mesh = self._mesh(4)
+        shape = (8, 10, 4)                       # swap axis 10 % 4 != 0
+        plan = plan_dft_dist(shape, mesh, "x", axes=(0, 1),
+                             transposed_out=True)
+        x = (rng.standard_normal(shape) +
+             1j * rng.standard_normal(shape)).astype(np.complex64)
+        y = np.asarray(plan(jax.device_put(x, plan.input_sharding())))
+        ref = np.fft.fftn(x.astype(np.complex128), axes=(0, 1))
+        assert y.shape == shape
+        assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-5
+
+    def test_six_step_ragged_rows(self, rng):
+        import jax
+
+        from fftw3_tpu.parallel import plan_dft_1d_dist
+        mesh = self._mesh(4)
+        n = 40                                    # R=10 ragged, C=4|P? C=4
+        plan = plan_dft_1d_dist(n, mesh, "x")
+        assert "ragged" in plan.desc or "six-step" in plan.desc
+        x = (rng.standard_normal(n) +
+             1j * rng.standard_normal(n)).astype(np.complex64)
+        y = np.asarray(plan(jax.device_put(x, plan.input_sharding())))
+        ref = np.fft.fft(x.astype(np.complex128))
+        assert y.shape == (n,)
+        assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-5
+
+    def test_six_step_ragged_batched(self, rng):
+        import jax
+
+        from fftw3_tpu.parallel import plan_dft_1d_dist
+        mesh = self._mesh(4)
+        n = 24                                    # (R,C): needs 4 | C
+        plan = plan_dft_1d_dist(n, mesh, "x", batch_shape=(3,))
+        x = (rng.standard_normal((3, n)) +
+             1j * rng.standard_normal((3, n))).astype(np.complex64)
+        y = np.asarray(plan(jax.device_put(x, plan.input_sharding())))
+        ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+        assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-5
+
+    def test_r2c_ragged(self, rng):
+        import jax
+
+        from fftw3_tpu.parallel import plan_dft_r2c_dist
+        mesh = self._mesh(4)
+        shape = (10, 12, 8)
+        plan = plan_dft_r2c_dist(shape, mesh, "x", axes=(0, 1, 2))
+        x = rng.standard_normal(shape).astype(np.float32)
+        y = np.asarray(plan(jax.device_put(x, plan.input_sharding())))
+        ref = np.fft.rfftn(x.astype(np.float64))
+        assert y.shape == ref.shape
+        assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-5
+
+    def test_c2r_ragged(self, rng):
+        import jax
+
+        from fftw3_tpu.parallel import plan_dft_c2r_dist, plan_dft_r2c_dist
+        mesh = self._mesh(4)
+        shape = (10, 12, 8)
+        fwd = plan_dft_r2c_dist(shape, mesh, "x", axes=(0, 1, 2))
+        bwd = plan_dft_c2r_dist(shape, mesh, "x", axes=(0, 1, 2))
+        x = rng.standard_normal(shape).astype(np.float32)
+        X = fwd(jax.device_put(x, fwd.input_sharding()))
+        y = np.asarray(bwd(X)) / np.prod(shape)
+        assert np.max(np.abs(y - x)) < 1e-4
+
+    def test_r2r_ragged(self, rng):
+        import jax
+
+        from fftw3_tpu.ops import matrices
+        from fftw3_tpu.parallel import plan_r2r_dist
+        mesh = self._mesh(4)
+        shape = (6, 10)                          # both ragged over 4
+        plan = plan_r2r_dist(shape, "redft10", mesh, "x", axes=(0, 1))
+        x = rng.standard_normal(shape).astype(np.float32)
+        y = np.asarray(plan(jax.device_put(x, plan.input_sharding())))
+        M0 = matrices.r2r_matrix("redft10", 6)
+        M1 = matrices.r2r_matrix("redft10", 10)
+        ref = M0.T @ x @ M1
+        assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-4
+
+    def test_bigvec_ragged_batch(self, rng):
+        import jax
+
+        from fftw3_tpu.parallel import plan_dft_dist
+        mesh = self._mesh(4)
+        shape = (6, 16)                          # batch 6 ragged over 4
+        plan = plan_dft_dist(shape, mesh, "x", axes=(1,), shard_axis=0)
+        assert "bigvec" in plan.desc
+        x = (rng.standard_normal(shape) +
+             1j * rng.standard_normal(shape)).astype(np.complex64)
+        y = np.asarray(plan(jax.device_put(x, plan.input_sharding())))
+        ref = np.fft.fft(x.astype(np.complex128), axis=1)
+        assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-5
+
+
+class TestDistWholePlanMeasure:
+    """VERDICT #9: flags=MEASURE times complete distributed candidates."""
+
+    def test_slab_measure_picks_and_memoizes(self, rng):
+        import jax
+
+        from fftw3_tpu.parallel import plan_dft_dist
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("x",))
+        the_planner.forget_wisdom()
+        plan = plan_dft_dist((8, 16, 16), mesh, "x", axes=(0, 1, 2),
+                             flags=K.MEASURE)
+        keys = [k for k in the_planner.wisdom if k.startswith("dist:slab")]
+        assert keys, "whole-plan measure must memoize a dist: wisdom entry"
+        choice = the_planner.wisdom[keys[0]]["desc"]
+        assert choice["transpose_method"] in ("all_to_all", "ppermute",
+                                              "recurse")
+        # correctness of the timed winner
+        x = (rng.standard_normal((8, 16, 16))
+             + 1j * rng.standard_normal((8, 16, 16))).astype(np.complex64)
+        y = np.asarray(plan(jax.device_put(x, plan.input_sharding())))
+        ref = np.fft.fftn(x.astype(np.complex128))
+        assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-5
+        # second call is a wisdom hit
+        before = the_planner.stats["nwisdom_hit"]
+        plan_dft_dist((8, 16, 16), mesh, "x", axes=(0, 1, 2),
+                      flags=K.MEASURE)
+        assert the_planner.stats["nwisdom_hit"] > before
+        the_planner.forget_wisdom()
+
+    def test_six_step_measure(self, rng):
+        import jax
+
+        from fftw3_tpu.parallel import plan_dft_1d_dist
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("x",))
+        the_planner.forget_wisdom()
+        plan = plan_dft_1d_dist(256, mesh, "x", flags=K.MEASURE)
+        keys = [k for k in the_planner.wisdom
+                if k.startswith("dist:sixstep")]
+        assert keys
+        x = (rng.standard_normal(256)
+             + 1j * rng.standard_normal(256)).astype(np.complex64)
+        y = np.asarray(plan(jax.device_put(x, plan.input_sharding())))
+        ref = np.fft.fft(x.astype(np.complex128))
+        assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-5
+        the_planner.forget_wisdom()
+
+
+class TestGuruOutputStrides:
+    """VERDICT #3: the guru layer honors OUTPUT iodim strides (scatter to
+    layout), mirroring fftw_plan_guru_dft's os semantics."""
+
+    def test_output_strides_scatter(self, rng):
+        from fftw3_tpu import guru
+        n, b = 8, 3
+        # input contiguous (is=0 default); output strided: os=2 on the
+        # transform dim, os=16 on the batch dim
+        p = guru.plan_guru_dft([guru.iodim(n, 0, 2)],
+                               [guru.iodim(b, 0, 16)])
+        x = (rng.standard_normal((b, n))
+             + 1j * rng.standard_normal((b, n))).astype(np.complex64)
+        flat = x.reshape(-1)
+        y = np.asarray(p.execute(flat))
+        ref = np.fft.fft(x.astype(np.complex128), axis=1)
+        assert y.shape == (p.out_size,)   # 1 + max offset = 47
+        idx = 16 * np.arange(b)[:, None] + 2 * np.arange(n)[None, :]
+        np.testing.assert_allclose(y[idx], ref, rtol=1e-4, atol=1e-4)
+        # positions outside the layout are zero
+        mask = np.ones(p.out_size, bool)
+        mask[idx.ravel()] = False
+        assert np.all(y[mask] == 0)
+
+    def test_output_strides_into_existing_buffer(self, rng):
+        from fftw3_tpu import guru
+        n = 8
+        p = guru.plan_guru_dft([guru.iodim(n, 0, 3)])
+        x = (rng.standard_normal(n)
+             + 1j * rng.standard_normal(n)).astype(np.complex64)
+        sentinel = (np.full(p.out_size, 7.0)
+                    + 0j).astype(np.complex64)
+        y = np.asarray(p.execute(x, out=sentinel))
+        ref = np.fft.fft(x.astype(np.complex128))
+        np.testing.assert_allclose(y[0::3], ref, rtol=1e-4, atol=1e-4)
+        # untouched semantics: non-layout positions keep caller data
+        mask = np.ones(p.out_size, bool)
+        mask[0::3] = False
+        assert np.all(y[mask] == 7.0)
+
+    def test_input_strides_still_work(self, rng):
+        from fftw3_tpu import guru
+        n = 16
+        p = guru.plan_guru_dft([guru.iodim(n, 2, 0)])
+        buf = (rng.standard_normal(2 * n)
+               + 1j * rng.standard_normal(2 * n)).astype(np.complex64)
+        y = np.asarray(p.execute(buf))
+        ref = np.fft.fft(buf[0::2].astype(np.complex128))
+        np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
