@@ -19,7 +19,8 @@ from .api import (  # noqa: F401
     plan_dft_2d, plan_dft_3d, plan_dft_c2r, plan_dft_c2r_1d, plan_dft_c2r_2d,
     plan_dft_c2r_3d, plan_dft_r2c, plan_dft_r2c_1d, plan_dft_r2c_2d,
     plan_dft_r2c_3d, plan_guru_dft, plan_many_dft, plan_r2r, plan_r2r_1d,
-    print_plan, rfft, rfft2, rfftfreq, rfftn, set_timelimit, sprint_plan)
+    print_plan, rfft, rfft2, rfftfreq, rfftn, set_functional_flags,
+    set_timelimit, sprint_plan)
 from .guru import plan_guru_dft  # noqa: F401  (iodim-aware; shadows api's)
 from .guru import (  # noqa: F401
     ManyPlan, SplitPlan, execute_dft, execute_dft_c2r, execute_dft_r2c,

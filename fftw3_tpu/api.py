@@ -272,10 +272,32 @@ def cleanup() -> None:
 # numpy-style functional API (plan-cached)
 # ---------------------------------------------------------------------------
 
+#: planning patience of the numpy/scipy functional surface.  FFTW's
+#: functional users get ESTIMATE by default; set_functional_flags(MEASURE)
+#: lets fft()/dct()/... plans go through device timing (the knob the
+#: round-1 review flagged as missing).
+_functional_flags: int = ESTIMATE
+
+
+def set_functional_flags(flags: int) -> None:
+    """Set the planner flags used by the numpy-style functional API
+    (fft, rfftn, dct, ...).  Existing cached plans are dropped so they
+    re-plan at the new patience."""
+    global _functional_flags
+    _functional_flags = int(flags)
+    _cached_plan.cache_clear()
+
+
+def get_functional_flags() -> int:
+    return _functional_flags
+
+
 @lru_cache(maxsize=512)
 def _cached_plan(kind: str, shape: Tuple[int, ...], axes: Tuple[int, ...],
                  sign: int, dtype_name: str, r2r_kinds: Tuple[str, ...] = (),
-                 flags: int = ESTIMATE) -> Plan:
+                 flags: Optional[int] = None) -> Plan:
+    if flags is None:
+        flags = _functional_flags
     if kind == "c2c":
         return plan_dft(shape, axes, sign, flags, dtype_name)
     if kind == "r2c":

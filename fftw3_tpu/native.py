@@ -98,6 +98,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_double, ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_char_p, ctypes.c_int64]
         lib.ftpu_plan_c2c.restype = ctypes.c_int64
+        lib.ftpu_plan_kind.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64]
+        lib.ftpu_plan_kind.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -179,6 +184,29 @@ def plan_c2c(n: int, patience: int, allow_pallas: bool, hw) -> Optional[Dict]:
             n, patience, int(allow_pallas), hw.hbm_bw, hw.peak_flops,
             hw.vpu_flops, planner_mod.DIRECT_MAX, planner_mod.GENERIC_MAX,
             buf, cap)
+        if need < 0:
+            return None
+        if need <= cap:
+            return json.loads(buf.value.decode())
+        cap = int(need)
+
+
+def plan_kind(kind: str, n: int, patience: int, allow_pallas: bool,
+              hw) -> Optional[Dict]:
+    """Native ESTIMATE-mode search for ANY transform kind ("c2c", "r2c",
+    "c2r", or an r2r kind name); None if the library is unavailable.
+    Mirrors Planner._candidates + _cost exactly (equality unit-tested)."""
+    lib = _load()
+    if lib is None:
+        return None
+    from . import planner as planner_mod
+    cap = 1 << 14
+    while True:
+        buf = ctypes.create_string_buffer(cap)
+        need = lib.ftpu_plan_kind(
+            kind.encode(), n, patience, int(allow_pallas), hw.hbm_bw,
+            hw.peak_flops, hw.vpu_flops, planner_mod.DIRECT_MAX,
+            planner_mod.GENERIC_MAX, buf, cap)
         if need < 0:
             return None
         if need <= cap:

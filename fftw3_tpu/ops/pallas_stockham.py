@@ -27,17 +27,19 @@ reshapes/permutes that leave the lane dim intact, and lane merges/splits at
 2. runs the Stockham iteration with invariant array ``(rest, done, TB)``::
 
        for radix p (q = rest // p):
-           A: (p, q, done, TB)        -- major-dim split of `rest`
-           Y[k1, ...] = sum_j1 F_p[j1, k1] * A[j1, ...]
-                       = 3 Karatsuba 2-D matmuls (p,p) @ (p, q*done*TB)
-           Y *= w[k1, j2] = exp(sign*2pi*i*j2*k1/rest)   (VPU broadcast)
-           A = Y permuted (q, p, done, TB) -> (q, p*done, TB)
+           A: (2, p, q, done, TB)     -- STACKED (re, im), major split
+           Y = G_p @ A as ONE real matmul (2p, 2p) @ (2p, q*done*TB),
+               G = [[Fr, -Fi], [Fi, Fr]]  (schoolbook complex product as
+               a block matrix; 2 bf16 hi/lo MXU passes per stage)
+           Y *= w[k1, j2] = exp(sign*2pi*i*j2*k1/rest)   (VPU; flat or
+               broadcast layout per FLAT_TW_MAX_BYTES)
+           A = Y permuted (2, q, p, done, TB) -> (2, q*p*done, TB)
 
    computing X[k_done + done*(k1 + p*k2)] — autosorted, no bit reversal,
 3. transposes ``(n, TB)`` back and stores.
 
-Split complex (re, im) f32 planes; complex products in 3-real-matmul
-Karatsuba form.  All trig constants are computed on the host in float64
+Split complex (re, im) f32 planes, stacked through the stage loop so the
+complex contraction is one real MXU op.  All trig constants are computed on the host in float64
 (twiddle accuracy contract of ``fftw/fftw_api.c:18850-19040``) and streamed
 in as kernel operands (fetched once: their block index never changes).
 """
@@ -185,7 +187,14 @@ def _flat_tw_lanes(n: int, radices: Sequence[int], lanes: int):
 
 def _stage_consts(n: int, radices: Sequence[int], sign: int,
                   tw_lanes: int = 0):
-    """Host-side f64-accurate constants per stage: F_p (p,p), twiddle.
+    """Host-side f64-accurate constants per stage: the stacked complex
+    stage matrix G = [[Fr, -Fi], [Fi, Fr]] (2p, 2p), then the twiddle.
+
+    G realizes the whole complex contraction as ONE real matmul over the
+    stacked (re, im) planes — 2 bf16 MXU passes per stage instead of the
+    6 of a per-product Karatsuba (the MXU is K-underutilized at these
+    radices, so the doubled K is nearly free; measured 57 -> 39 ps/pt at
+    n=1024, sandwiched A/B/A).
 
     Twiddle laid out [k1, j2] to broadcast over (p, q, done, TB) directly,
     or — with ``tw_lanes = L > 0`` — pre-replicated to the flat (p, q*L)
@@ -197,8 +206,10 @@ def _stage_consts(n: int, radices: Sequence[int], sign: int,
     for p in radices:
         q = rest // p
         F = matrices.dft_matrix(p, sign)
-        consts = [np.ascontiguousarray(F.real, np.float32),
-                  np.ascontiguousarray(F.imag, np.float32)]
+        Fr = np.ascontiguousarray(F.real)
+        Fi = np.ascontiguousarray(F.imag)
+        G = np.block([[Fr, -Fi], [Fi, Fr]])
+        consts = [np.ascontiguousarray(G, np.float32)]
         if q > 1:
             e = np.mod(np.outer(np.arange(p, dtype=np.int64),
                                 np.arange(q, dtype=np.int64)), rest)
@@ -228,106 +239,92 @@ def _stage_consts(n: int, radices: Sequence[int], sign: int,
 K2_MAX_BYTES = 768 << 10
 
 
-def _cmatmul2d(Fr, Fi, ar, ai, k2=False):
-    """(F^T x) in split complex: 3 Karatsuba products on the MXU.
+def _gmm(G, X, k2=True):
+    """The stacked stage matmul: (2p, 2p) @ (2p, M) on the MXU.
 
-    Fr/Fi: (p, p) with F[j1, k1]; a: (p, M).  Returns (p, M) rows k1.
-    DFT matrices are symmetric, so F^T @ a == F @ a.
-
-    Each real product runs either as a 6-pass HIGHEST matmul (~1e-7) or —
-    the default — as a hand-rolled bf16x3: split both operands into
-    hi + lo bf16 parts and take the three first-order terms (hi*hi,
-    hi*lo, lo*hi; the dropped lo*lo term is ~2^-16 relative).  Measured
-    ~12% faster end-to-end at rel err ~1e-5, far inside the 1e-3 single
-    tolerance.  Mosaic lacks Precision.HIGH, hence by hand.  ``k2``
-    additionally fuses the two cross terms into one K=2p matmul
-    (K2_MAX_BYTES gate).
+    Runs either as a precision-pinned f32 matmul (config.pallas_matmul
+    "highest": 6-pass, ~1e-7) or — the default — hand-rolled bf16 hi/lo
+    (Mosaic lacks Precision.HIGH): the hi*hi pass plus, under ``k2``, the
+    two cross terms Fh@Xl + Fl@Xh fused into ONE K=4p pass (at p=32 the
+    cross pass K=128 exactly fills the systolic array).  The dropped
+    lo*lo term is ~2^-16 relative; measured rel err ~5e-6 end-to-end.
+    ``k2=False`` keeps 3 separate passes (VMEM-constrained sizes: the
+    stacked cross operand is an extra (4p, M) bf16 buffer).
     """
-    mm = _mxu_mm(k2)
-    t1 = mm(Fr, ar)
-    t2 = mm(Fi, ai)
-    t3 = mm(Fr + Fi, ar + ai)
-    return t1 - t2, t3 - t1 - t2
+    if config.pallas_matmul != "bf16x3":
+        return jnp.dot(G, X, preferred_element_type=jnp.float32,
+                       precision=config.precision())
+    Gh = G.astype(jnp.bfloat16)
+    Gl = (G - Gh.astype(jnp.float32)).astype(jnp.bfloat16)
+    Xh = X.astype(jnp.bfloat16)
+    Xl = (X - Xh.astype(jnp.float32)).astype(jnp.bfloat16)
 
-
-def _mxu_mm(k2=False):
-    """The in-kernel real matmul, per config.pallas_matmul."""
-    if config.pallas_matmul == "bf16x3":
-        def mm(F, x):
-            Fh = F.astype(jnp.bfloat16)
-            Fl = (F - Fh.astype(jnp.float32)).astype(jnp.bfloat16)
-            xh = x.astype(jnp.bfloat16)
-            xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-
-            def d(a, b):
-                return jnp.dot(a, b, preferred_element_type=jnp.float32)
-            if k2:
-                FF = jnp.concatenate([Fh, Fl], axis=1)
-                XX = jnp.concatenate([xl, xh], axis=0)
-                return d(Fh, xh) + d(FF, XX)
-            return d(Fh, xh) + (d(Fh, xl) + d(Fl, xh))
-        return mm
-    prec = config.precision()
-
-    def mm(F, x):
-        return jnp.dot(F, x, preferred_element_type=jnp.float32,
-                       precision=prec)
-    return mm
+    def d(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    if k2:
+        GG = jnp.concatenate([Gh, Gl], axis=1)
+        XX = jnp.concatenate([Xl, Xh], axis=0)
+        return d(Gh, Xh) + d(GG, XX)
+    return d(Gh, Xh) + (d(Gh, Xl) + d(Gl, Xh))
 
 
 def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0):
     """Shared Stockham stage loop on (n, TB) values (transform index in
     major/sublane dims, TB lanes).  ``tw_lanes == tb`` selects the flat
-    first-stage twiddle (see FLAT_TW_MAX_BYTES)."""
+    first-stage twiddle (see FLAT_TW_MAX_BYTES).
+
+    The (re, im) planes travel STACKED as one (2, rest*done, TB) array:
+    each stage's complex contraction is a single real (2p, 2p) matmul
+    over the major-merged (2p, q*done*TB) view (G matrix, see
+    _stage_consts), and the inter-stage permute moves both planes in one
+    major-dim transpose."""
     done = 1
     rest = n
     ci = 0
+    st = jnp.concatenate([ar[None], ai[None]], 0)      # (2, n, TB)
     for si, p in enumerate(radices):
         q = rest // p
-        Fr = crefs[ci][...]
-        Fi = crefs[ci + 1][...]
-        ci += 2
-        # contraction over j1: 2-D matmul on (p, q*done*TB)
+        G = crefs[ci][...]
+        ci += 1
+        # contraction over (c, j1): the (2, p, ...) major pair merges to
+        # rows of ONE 2-D matmul on (2p, q*done*TB)
         M = q * done * tb
-        a2r = ar.reshape(p, M)
-        a2i = ai.reshape(p, M)
-        yr, yi = _cmatmul2d(Fr, Fi, a2r, a2i,
-                            k2=(4 * p * M <= K2_MAX_BYTES))
-        if done == 1:
-            if q > 1 and tw_lanes == tb:
-                # flat twiddle: multiply on the 2-D matmul-output view
-                # (no reshape/broadcast relayout before the VPU pass)
+        y = _gmm(G, st.reshape(2 * p, M),
+                 k2=(4 * p * M <= K2_MAX_BYTES))
+        if q > 1:
+            if done == 1 and tw_lanes == tb:
+                # flat twiddle on the 2-D matmul-output view (no
+                # reshape/broadcast relayout before the VPU pass)
                 wr = crefs[ci][...]
                 wi = crefs[ci + 1][...]
                 ci += 2
-                yr, yi = yr * wr - yi * wi, yr * wi + yi * wr
-                yr = yr.reshape(p, q, tb)
-                yi = yi.reshape(p, q, tb)
+                y3 = y.reshape(2, p, M)
+                tr = y3[0] * wr - y3[1] * wi
+                ti = y3[0] * wi + y3[1] * wr
+                y = jnp.concatenate([tr[None], ti[None]], 0)
             else:
-                # 3-D shapes: avoid a degenerate sublane-1 dimension
-                yr = yr.reshape(p, q, tb)
-                yi = yi.reshape(p, q, tb)
-                if q > 1:
-                    wr = crefs[ci][...].reshape(p, q, 1)
-                    wi = crefs[ci + 1][...].reshape(p, q, 1)
-                    ci += 2
-                    yr, yi = yr * wr - yi * wi, yr * wi + yi * wr
-            ar = jnp.transpose(yr, (1, 0, 2))          # (q, p, TB)
-            ai = jnp.transpose(yi, (1, 0, 2))
-        else:
-            yr = yr.reshape(p, q, done, tb)
-            yi = yi.reshape(p, q, done, tb)
-            if q > 1:
-                wr = crefs[ci][...].reshape(p, q, 1, 1)
-                wi = crefs[ci + 1][...].reshape(p, q, 1, 1)
+                sh = (p, q) + ((1, 1) if done > 1 else (1,))
+                wr = crefs[ci][...].reshape(sh)
+                wi = crefs[ci + 1][...].reshape(sh)
                 ci += 2
-                yr, yi = yr * wr - yi * wi, yr * wi + yi * wr
-            # (p, q, done, TB) -> (q, p, done, TB) -> (q, p*done, TB)
-            ar = jnp.transpose(yr, (1, 0, 2, 3)).reshape(q, p * done, tb)
-            ai = jnp.transpose(yi, (1, 0, 2, 3)).reshape(q, p * done, tb)
+                y3 = y.reshape((2, p, q) +
+                               ((done, tb) if done > 1 else (tb,)))
+                tr = y3[0] * wr - y3[1] * wi
+                ti = y3[0] * wi + y3[1] * wr
+                y = jnp.concatenate([tr[None], ti[None]], 0)
+            if done == 1:
+                st = jnp.transpose(y.reshape(2, p, q, tb),
+                                   (0, 2, 1, 3)).reshape(2, q * p, tb)
+            else:
+                # (2, p, q, done, TB) -> (2, q, p, done, TB)
+                st = jnp.transpose(y.reshape(2, p, q, done, tb),
+                                   (0, 2, 1, 3, 4)).reshape(
+                    2, q * p * done, tb)
+        else:
+            st = y.reshape(2, p * done, tb)   # p-major: the final order
         done *= p
         rest = q
-    return ar.reshape(n, tb), ai.reshape(n, tb)
+    return st[0], st[1]
 
 
 def _kernel(radices, n, tb, pretwiddle, tw_lanes, store_kp, *refs):
@@ -563,9 +560,9 @@ def _kernel_2d(rad1, rad2, n1, n2, tw1, tw2, *refs):
 
 
 def _n_consts(radices) -> int:
-    """Number of constant arrays a radix schedule consumes (F pair per
-    stage + twiddle pair for every stage but the last)."""
-    return 4 * len(radices) - 2
+    """Number of constant arrays a radix schedule consumes (one stacked G
+    per stage + twiddle pair for every stage but the last)."""
+    return 3 * len(radices) - 2
 
 
 def _make_call_2d(n1: int, n2: int, rad1, rad2, sign: int, interpret: bool):

@@ -204,11 +204,10 @@ class Planner:
             del self.wisdom[key]
             self.stats["nbogus"] = self.stats.get("nbogus", 0) + 1
         self.stats["nplan"] += 1
-        if (kind == "c2c" and patience == K.PATIENCE_ESTIMATE
-                and config.use_native):
-            desc = self._plan_c2c_native(n, rdtype, patience)
+        if patience == K.PATIENCE_ESTIMATE and config.use_native:
+            desc = self._plan_native(kind, n, rdtype, patience)
             if desc is not None:
-                cost = self._cost("c2c", desc)
+                cost = self._cost(kind, desc)
                 self.stats["epcost"] = self.stats.get("epcost", 0.0) + cost
                 self.stats["pcost"] = self.stats.get("pcost", 0.0) + cost
                 self.wisdom[key] = {"desc": desc, "patience": patience,
@@ -233,10 +232,11 @@ class Planner:
             self.hook(key, best, cost)
         return best
 
-    def _plan_c2c_native(self, n: int, rdtype, patience: int
-                         ) -> Optional[Dict]:
-        """Deterministic ESTIMATE search in the C++ tier (same policy as
-        the Python path; equality unit-tested).  None -> fall back."""
+    def _plan_native(self, kind: str, n: int, rdtype, patience: int
+                     ) -> Optional[Dict]:
+        """Deterministic ESTIMATE search in the C++ tier for any kind
+        (same policy as the Python path; equality unit-tested).
+        None -> fall back to the Python search."""
         try:
             from . import native
             from .ops import pallas_stockham
@@ -245,7 +245,11 @@ class Planner:
         if not native.available():
             return None
         allow = pallas_stockham.backend_allows(rdtype)
-        return native.plan_c2c(n, patience, allow, self.hw)
+        if kind == "c2c":
+            return native.plan_c2c(n, patience, allow, self.hw)
+        if n <= 1:
+            return None                # tiny edge cases stay in Python
+        return native.plan_kind(kind, n, patience, allow, self.hw)
 
     def _candidates(self, kind: str, n: int, rdtype,
                     patience: int, batch: Optional[int] = None) -> List[Dict]:

@@ -359,14 +359,17 @@ struct Params {
   int pallas_max_n = 2048;
   int pallas_max_radix = 256;
   int pallas_max_single = 256;
+  int r2r_generic_max = 4096;
   int patience = 0;          // ESTIMATE ladder position (candidate width)
 };
 
 struct Node {
   std::string alg;
+  std::string kind;          // r2r_matmul only
   long n = 0, p = 0, m = 0;
   std::vector<int> radices;
   int child = -1;            // index into pool
+  int child2 = -1;           // second child of the split r2r algs
 };
 
 struct Ctx {
@@ -374,6 +377,8 @@ struct Ctx {
   std::vector<Node> pool;
   std::map<long, int> memo;  // n -> pool index of best plan
   std::map<long, double> memo_cost;
+  // (kind, n) -> pool index for the non-c2c kinds
+  std::map<std::pair<std::string, long>, int> kmemo;
 };
 
 double cost_of(const Ctx& c, int idx);
@@ -621,12 +626,197 @@ int plan_c2c(Ctx& c, long n) {
   return best;
 }
 
+// ---------------------------------------------------------------------------
+// r2c / c2r / r2r ESTIMATE searches — mirrors of planner._candidates and
+// planner._cost for the real-transform kinds (same candidate order, same
+// cost formulas, first-minimum tie-break)
+// ---------------------------------------------------------------------------
+
+int plan_kind(Ctx& c, const std::string& kind, long n);
+
+double kind_cost(Ctx& c, const std::string& kind, int idx);
+
+// r2c/c2r candidate costs (planner._cost, the r2c/c2r branch)
+double real_cost(Ctx& c, const Node& nd) {
+  const HW& hw = c.prm.hw;
+  double n = (double)nd.n;
+  if (nd.alg == "pallas_r2c" || nd.alg == "pallas_c2r") {
+    double m = (double)(nd.n / 2);
+    double t = 1.1 * 8.0 * n / hw.hbm_bw;
+    for (int p : nd.radices)
+      t += 6.0 * p * m / (hw.peak_flops * hw.matmul_eff(p));
+    return t;
+  }
+  if (nd.alg == "r2c_dense" || nd.alg == "c2r_dense")
+    return 12.0 * n / hw.hbm_bw +
+           2.0 * n * (double)(nd.n / 2 + 1) /
+               (hw.peak_flops * hw.matmul_eff(n));
+  if (nd.alg == "r2c_pack" || nd.alg == "c2r_pack")
+    return 0.55 * cost_of(c, nd.child) + 16.0 * n / hw.hbm_bw;
+  return cost_of(c, nd.child) + 16.0 * n / hw.hbm_bw;  // via_c2c
+}
+
+int plan_real(Ctx& c, const std::string& kind, long n) {
+  auto key = std::make_pair(kind, n);
+  auto hit = c.kmemo.find(key);
+  if (hit != c.kmemo.end()) return hit->second;
+  const Params& P = c.prm;
+  bool is_r2c = kind == "r2c";
+  std::vector<int> cands;
+  std::vector<int> rad;
+  if (P.allow_pallas && n % 2 == 0 && n / 2 >= P.pallas_min_n &&
+      n / 2 <= P.pallas_max_n &&
+      pallas_radices(n / 2, P.pallas_max_radix, P.pallas_max_single, rad)) {
+    Node nd;
+    nd.alg = is_r2c ? "pallas_r2c" : "pallas_c2r";
+    nd.n = n;
+    nd.radices = rad;
+    cands.push_back(add_node(c, nd));
+  }
+  if (n <= P.r2r_generic_max) {
+    Node nd;
+    nd.alg = is_r2c ? "r2c_dense" : "c2r_dense";
+    nd.n = n;
+    cands.push_back(add_node(c, nd));
+  }
+  if (n % 2 == 0 && n > 2) {
+    Node nd;
+    nd.alg = is_r2c ? "r2c_pack" : "c2r_pack";
+    nd.n = n;
+    nd.child = plan_c2c(c, n / 2);
+    cands.push_back(add_node(c, nd));
+  }
+  {
+    Node nd;
+    nd.alg = is_r2c ? "r2c_via_c2c" : "c2r_via_c2c";
+    nd.n = n;
+    nd.child = plan_c2c(c, n);
+    cands.push_back(add_node(c, nd));
+  }
+  int best = -1;
+  double bestc = 0;
+  for (int i : cands) {
+    double ci = real_cost(c, c.pool[i]);
+    if (best < 0 || ci < bestc) { best = i; bestc = ci; }
+  }
+  c.kmemo[key] = best;
+  return best;
+}
+
+double r2r_cost(Ctx& c, const Node& nd);
+
+// cost of an already-planned node of the given kind
+double kind_cost(Ctx& c, const std::string& kind, int idx) {
+  if (kind == "c2c") return cost_of(c, idx);
+  if (kind == "r2c" || kind == "c2r") return real_cost(c, c.pool[idx]);
+  return r2r_cost(c, c.pool[idx]);
+}
+
+double r2r_cost(Ctx& c, const Node& nd) {
+  const HW& hw = c.prm.hw;
+  double n = (double)nd.n;
+  if (nd.alg == "r2r_matmul")
+    return 8.0 * n / hw.hbm_bw +
+           2.0 * n * n / (hw.peak_flops * hw.matmul_eff(n));
+  if (nd.alg == "redft00_split" || nd.alg == "rodft00_split")
+    return r2r_cost(c, c.pool[nd.child]) + r2r_cost(c, c.pool[nd.child2]) +
+           8.0 * n / hw.hbm_bw;
+  // reduction table: child kind decides the recursion + the pass cost
+  std::string ck;
+  if (nd.alg == "hc2r_via_c2r" || nd.alg == "redft01_half") ck = "c2r";
+  else if (nd.alg == "redft11_2n") ck = "c2c";
+  else if (nd.alg == "rodft10_flip" || nd.alg == "rodft01_flip" ||
+           nd.alg == "rodft11_flip" || nd.alg == "redft11_odd") ck = "r2r";
+  else ck = "r2c";
+  if (ck == "r2r")
+    return kind_cost(c, ck, nd.child) + 8.0 * n / hw.hbm_bw;
+  return kind_cost(c, ck, nd.child) + 16.0 * n / hw.hbm_bw;
+}
+
+int plan_r2r(Ctx& c, const std::string& kind, long n) {
+  auto key = std::make_pair(kind, n);
+  auto hit = c.kmemo.find(key);
+  if (hit != c.kmemo.end()) return hit->second;
+  const Params& P = c.prm;
+  std::vector<int> cands;
+  auto red = [&](const char* alg, const std::string& ck, long cn) {
+    Node nd;
+    nd.alg = alg;
+    nd.n = n;
+    nd.child = plan_kind(c, ck, cn);
+    cands.push_back(add_node(c, nd));
+  };
+  if (kind == "dht") red("dht_via_r2c", "r2c", n);
+  else if (kind == "r2hc") red("r2hc_via_r2c", "r2c", n);
+  else if (kind == "hc2r") red("hc2r_via_c2r", "c2r", n);
+  else if (kind == "redft10") red("redft10_half", "r2c", n);
+  else if (kind == "redft01") red("redft01_half", "c2r", n);
+  else if (kind == "redft00" && n > 1) {
+    red("redft00_ext", "r2c", 2 * (n - 1));
+    if (n % 2 == 1 && n >= 5) {
+      Node nd;
+      nd.alg = "redft00_split";
+      nd.n = n;
+      nd.child = plan_r2r(c, "redft00", (n + 1) / 2);
+      nd.child2 = plan_r2r(c, "redft10", (n - 1) / 2);
+      cands.push_back(add_node(c, nd));
+    }
+  } else if (kind == "rodft00") {
+    red("rodft00_ext", "r2c", 2 * (n + 1));
+    if (n % 2 == 1 && n >= 5) {
+      Node nd;
+      nd.alg = "rodft00_split";
+      nd.n = n;
+      nd.child = plan_r2r(c, "rodft00", (n - 1) / 2);
+      nd.child2 = plan_r2r(c, "rodft10", (n + 1) / 2);
+      cands.push_back(add_node(c, nd));
+    }
+  } else if (kind == "redft11") {
+    red("redft11_2n", "c2c", 2 * n);
+    if (n % 2 == 1) red("redft11_odd", "r2r_r2hc", n);
+  } else if (kind == "rodft10") red("rodft10_flip", "r2r_redft10", n);
+  else if (kind == "rodft01") red("rodft01_flip", "r2r_redft01", n);
+  else if (kind == "rodft11") red("rodft11_flip", "r2r_redft11", n);
+  if (n <= P.r2r_generic_max) {
+    Node nd;
+    nd.alg = "r2r_matmul";
+    nd.kind = kind;
+    nd.n = n;
+    cands.push_back(add_node(c, nd));
+  }
+  int best = -1;
+  double bestc = 0;
+  for (int i : cands) {
+    double ci = r2r_cost(c, c.pool[i]);
+    if (best < 0 || ci < bestc) { best = i; bestc = ci; }
+  }
+  c.kmemo[key] = best;
+  return best;
+}
+
+// dispatch on kind; "r2r_<kind>" routes to the r2r table (flip children)
+int plan_kind(Ctx& c, const std::string& kind, long n) {
+  if (kind == "c2c") return plan_c2c(c, n);
+  if (kind == "r2c" || kind == "c2r") return plan_real(c, kind, n);
+  if (kind.rfind("r2r_", 0) == 0) return plan_r2r(c, kind.substr(4), n);
+  return plan_r2r(c, kind, n);
+}
+
 void to_json(const Ctx& c, int idx, std::string& out) {
   const Node& nd = c.pool[idx];
   char buf[64];
   out += "{\"alg\": \"" + nd.alg + "\", \"n\": ";
   snprintf(buf, sizeof buf, "%ld", nd.n);
   out += buf;
+  if (!nd.kind.empty()) out += ", \"kind\": \"" + nd.kind + "\"";
+  if (nd.child2 >= 0) {       // split r2r algs carry a children pair
+    out += ", \"children\": [";
+    to_json(c, nd.child, out);
+    out += ", ";
+    to_json(c, nd.child2, out);
+    out += "]}";
+    return;
+  }
   if (nd.alg == "mixed") {
     snprintf(buf, sizeof buf, ", \"p\": %ld", nd.p);
     out += buf;
@@ -635,7 +825,8 @@ void to_json(const Ctx& c, int idx, std::string& out) {
     snprintf(buf, sizeof buf, ", \"m\": %ld", nd.m);
     out += buf;
   }
-  if (nd.alg == "pallas") {
+  if (nd.alg == "pallas" || nd.alg == "pallas_r2c" ||
+      nd.alg == "pallas_c2r") {
     out += ", \"radices\": [";
     for (size_t i = 0; i < nd.radices.size(); ++i) {
       if (i) out += ", ";
@@ -672,6 +863,29 @@ API int64_t ftpu_plan_c2c(int64_t n, int32_t patience, int32_t allow_pallas,
   c.prm.allow_pallas = allow_pallas;
   c.prm.patience = patience;
   int root = search::plan_c2c(c, (long)n);
+  if (root < 0) return -1;
+  std::string j;
+  search::to_json(c, root, j);
+  if ((int64_t)j.size() + 1 <= cap && out) std::memcpy(out, j.c_str(), j.size() + 1);
+  return (int64_t)j.size() + 1;
+}
+
+// Plan ANY kind ("c2c", "r2c", "c2r", or an r2r kind name like "redft10")
+// at ESTIMATE patience; same contract as ftpu_plan_c2c.
+API int64_t ftpu_plan_kind(const char* kind, int64_t n, int32_t patience,
+                           int32_t allow_pallas, double hbm_bw,
+                           double peak_flops, double vpu_flops,
+                           int32_t direct_max, int32_t generic_max,
+                           char* out, int64_t cap) {
+  search::Ctx c;
+  c.prm.hw.hbm_bw = hbm_bw;
+  c.prm.hw.peak_flops = peak_flops;
+  c.prm.hw.vpu_flops = vpu_flops;
+  c.prm.direct_max = direct_max;
+  c.prm.generic_max = generic_max;
+  c.prm.allow_pallas = allow_pallas;
+  c.prm.patience = patience;
+  int root = search::plan_kind(c, std::string(kind), (long)n);
   if (root < 0) return -1;
   std::string j;
   search::to_json(c, root, j);

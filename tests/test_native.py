@@ -138,3 +138,78 @@ class TestNativePallasEquality:
             config.pallas_mode = old_mode
             config.use_native = old_native
         assert got == want, (n, got, want)
+
+
+class TestNativeAllKinds:
+    """The C++ tier's ESTIMATE search must EQUAL the Python policy for
+    every transform kind (determinism across hosts; CLAUDE.md invariant)."""
+
+    @pytest.mark.parametrize("kind", ["r2c", "c2r"])
+    @pytest.mark.parametrize("n", [16, 100, 256, 1000, 1024, 2048, 4096,
+                                   8192, 65536])
+    def test_real_kinds_equal(self, kind, n):
+        if not native.available():
+            pytest.skip("native library unavailable")
+        from fftw3_tpu import config
+        from fftw3_tpu import kinds as K
+        from fftw3_tpu.planner import Planner
+        pl = Planner()
+        old = config.use_native
+        try:
+            config.use_native = False
+            py = pl._plan(kind, n, np.float32, K.PATIENCE_ESTIMATE)
+        finally:
+            config.use_native = old
+        # allow_pallas must match the Python backend gate (CPU tests: off)
+        from fftw3_tpu.ops import pallas_stockham
+        nat = native.plan_kind(
+            kind, n, K.PATIENCE_ESTIMATE,
+            pallas_stockham.backend_allows(np.float32), pl.hw)
+        assert nat == py
+
+    @pytest.mark.parametrize("kind", ["r2hc", "hc2r", "dht", "redft00",
+                                      "redft01", "redft10", "redft11",
+                                      "rodft00", "rodft01", "rodft10",
+                                      "rodft11"])
+    @pytest.mark.parametrize("n", [8, 33, 100, 512, 1025, 4097, 8192])
+    def test_r2r_kinds_equal(self, kind, n):
+        if not native.available():
+            pytest.skip("native library unavailable")
+        from fftw3_tpu import config
+        from fftw3_tpu import kinds as K
+        from fftw3_tpu.ops import pallas_stockham
+        from fftw3_tpu.planner import Planner
+        pl = Planner()
+        old = config.use_native
+        try:
+            config.use_native = False
+            py = pl._plan(kind, n, np.float32, K.PATIENCE_ESTIMATE)
+        finally:
+            config.use_native = old
+        nat = native.plan_kind(
+            kind, n, K.PATIENCE_ESTIMATE,
+            pallas_stockham.backend_allows(np.float32), pl.hw)
+        assert nat == py, f"{kind} n={n}"
+
+    @pytest.mark.parametrize("kind,n", [("r2c", 2048), ("c2r", 2048),
+                                        ("r2c", 4096), ("redft10", 2048),
+                                        ("redft11", 8193),
+                                        ("redft00", 8193)])
+    def test_equal_with_pallas_enabled(self, kind, n):
+        """The pallas-gated branches must also match (the on-chip case)."""
+        if not native.available():
+            pytest.skip("native library unavailable")
+        from fftw3_tpu import config
+        from fftw3_tpu import kinds as K
+        from fftw3_tpu.planner import Planner
+        pl = Planner()
+        old_mode, old_nat = config.pallas_mode, config.use_native
+        try:
+            config.pallas_mode = "interpret"      # backend_allows -> True
+            config.use_native = False
+            py = pl._plan(kind, n, np.float32, K.PATIENCE_ESTIMATE)
+            nat = native.plan_kind(kind, n, K.PATIENCE_ESTIMATE, True,
+                                   pl.hw)
+        finally:
+            config.pallas_mode, config.use_native = old_mode, old_nat
+        assert nat == py, f"{kind} n={n}"
