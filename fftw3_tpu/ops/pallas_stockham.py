@@ -65,11 +65,20 @@ MAX_SINGLE = 256
 
 
 def _stage_cost(p: int) -> float:
-    """Measured per-point stage cost curve on v5e (ps): narrow contractions
+    """Measured FIRST-stage cost curve on v5e (ps/pt): narrow contractions
     pay ~230/p (MXU K-underutilization + pass overhead), wide ones ~p/9
-    (linear flops).  Fit of the measured sweep: s(4)=57, s(8)=29, s(16)=16,
-    s(64)=10, s(128)=16, s(256)=29."""
+    (linear flops)."""
     return 230.0 / p + p / 9.0
+
+
+def _stage2_cost(q: int) -> float:
+    """Measured SECOND-stage cost curve under the stacked-G kernels: the
+    last stage's matmul M is p*TB (large), making its linear term much
+    steeper than the first stage's.  Fit of the round-2 interleaved sweep:
+    (64,16) beats (32,32) at n=1024 (45 vs 54 ps/pt) and (128,16) beats
+    (64,32) at n=2048 (58 vs 76) — the optimum sits at q ~ 16.
+    Keep in sync with the C++ mirror (pallas_stage2_cost)."""
+    return 230.0 / q + float(q)
 #: fused-kernel applicability window.  Below MIN_N a single direct matmul
 #: (XLA) already runs in one pass; above MAX_N the ~15 live (n, TILE_B)
 #: f32 planes exceed the 16 MB scoped-VMEM limit — the planner then
@@ -94,8 +103,9 @@ def choose_radices(n: int) -> List[int]:
     Schedules are limited to <= 2 stages: this Mosaic toolchain miscompiles
     deeper pipelines, and two radices <= 256 cover every n <= 65536 with
     256-smooth structure (the fused-kernel VMEM window ends far earlier).
-    Two-stage picks minimize s(p)+s(q) with both radices >= 8 when
-    possible (radices 2/4 measured catastrophic: +40-90 ps/pt).
+    Two-stage picks minimize s1(p) + s2(q) (asymmetric: the stages have
+    different matmul shapes under the stacked-G kernel) with both radices
+    >= 8 when possible (radices 2/4 measured catastrophic: +40-90 ps/pt).
     """
     if n <= MAX_SINGLE:
         return [n]
@@ -105,7 +115,7 @@ def choose_radices(n: int) -> List[int]:
         q = n // p
         if not (q >= 2 and p >= q and p <= MAX_RADIX):
             continue
-        cost = _stage_cost(p) + _stage_cost(q)
+        cost = _stage_cost(p) + _stage2_cost(q)
         if q < 8:
             cost += 1000.0                  # last resort only
         if best is None or cost < best_cost:
@@ -137,7 +147,7 @@ def alternative_radices(n: int, k: int = 3) -> List[List[int]]:
         q = n // p
         if q >= 8 and p >= q and p <= MAX_RADIX:
             pairs.append((p, q))
-    pairs.sort(key=lambda pq: _stage_cost(pq[0]) + _stage_cost(pq[1]))
+    pairs.sort(key=lambda pq: _stage_cost(pq[0]) + _stage2_cost(pq[1]))
     outs.extend([list(pq) for pq in pairs])
     return outs[:k]
 
@@ -463,12 +473,43 @@ def _make_call(n: int, radices: Sequence[int], sign: int, tb: int,
     return run
 
 
+#: axis-(-2) kernel working-set budget in points (n * effective lanes).
+#: Half the 1-D kernel's window: the 3-D<->2-D relayouts add live planes
+#: (g=1024 at n=2 blew the 16 MB scoped-VMEM limit).
+INNER_AREA = MAX_N * 64
+
+
 def _inner_group(n: int, tl: int) -> int:
-    """Leading rows per grid step: target half the 1-D kernel's working
-    set (the 3-D<->2-D relayouts add live planes; g=1024 at n=2 blew the
-    16 MB scoped-VMEM limit).  Power of two, >= 1."""
-    g = max(1, (MAX_N * 64) // max(n * tl, 1))
+    """Leading rows per grid step (power of two, >= 1)."""
+    g = max(1, INNER_AREA // max(n * tl, 1))
     return 1 << (g.bit_length() - 1)
+
+
+#: the axis-(-2) form keeps more live planes than the last-axis form (the
+#: 3-D blocks + relayouts); n * first-radix above this measured bound
+#: blows scoped VMEM (n=2048 with p=128 fails; p=64 fits)
+INNER_NP_MAX = 2048 * 64
+
+
+def _inner_radices(n: int, radices: Sequence[int]) -> List[int]:
+    """Re-choose the schedule under the inner form's tighter VMEM bound
+    (same cost curves, capped first radix); keep the given schedule when
+    it already fits."""
+    if len(radices) < 2 or n * radices[0] <= INNER_NP_MAX:
+        return list(radices)
+    best = None
+    best_cost = None
+    for p in sorted(primes.divisors(n), reverse=True):
+        q = n // p
+        if not (q >= 2 and p >= q and p <= MAX_RADIX
+                and n * p <= INNER_NP_MAX):
+            continue
+        cost = _stage_cost(p) + _stage2_cost(q)
+        if q < 8:
+            cost += 1000.0
+        if best is None or cost < best_cost:
+            best, best_cost = [p, q], cost
+    return best if best is not None else list(radices)
 
 
 def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
@@ -486,7 +527,7 @@ def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
         # the lane tile (cheap), then group leading rows.  L need not be a
         # tile multiple: Pallas masks the partial edge block, and row-FFT
         # math is lane-independent.
-        area = MAX_N * 64
+        area = INNER_AREA
         tle = tl
         while tle * 2 <= L and n * tle * 2 <= area:
             tle *= 2
@@ -621,8 +662,8 @@ def applicable_2d(n1: int, n2: int, rdtype) -> bool:
 def build_pallas_c2c_split_2d(n1: int, n2: int, sign: int, rdtype):
     """Split-complex apply transforming BOTH trailing axes of
     (..., n1, n2) in one fused kernel pass."""
-    rad1 = choose_radices(n1)
-    rad2 = choose_radices(n2)
+    rad1 = _inner_radices(n1, choose_radices(n1))
+    rad2 = _inner_radices(n2, choose_radices(n2))
     mode = config.pallas_mode
     if mode == "auto":
         interpret = jax.default_backend() != "tpu"
@@ -661,7 +702,7 @@ def build_pallas_c2c_split_inner(desc: Dict, sign: int, rdtype):
     zero moveaxis passes, zero in-kernel transposes.  Returns None if the
     layout is unsuitable (caller falls back to the moveaxis path)."""
     n = desc["n"]
-    radices = desc.get("radices") or choose_radices(n)
+    radices = _inner_radices(n, desc.get("radices") or choose_radices(n))
     mode = config.pallas_mode
     if mode == "auto":
         interpret = jax.default_backend() != "tpu"

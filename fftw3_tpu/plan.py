@@ -69,6 +69,15 @@ def _c2c_stage(desc: Dict, sign: int, rdtype, axis: int,
     return _along_axis_split(fn, neg)
 
 
+def _complex_of_split(split_fn: Callable) -> Callable:
+    """Lift a split-complex stage to a complex-array stage (the split and
+    recombine fuse into the neighboring XLA ops)."""
+    def apply(x):
+        yr, yi = split_fn(jnp.real(x), jnp.imag(x))
+        return yr + 1j * yi
+    return apply
+
+
 def _along_axis_split(fn: Callable, axis: int) -> Callable:
     """Lift a split-complex last-axis transform to an arbitrary axis."""
     def apply(xr, xi):
@@ -261,13 +270,16 @@ def make_plan(problem: Problem, flags: int = K.ESTIMATE,
         nd = len(shape)
         stages.append(_along_axis(real_ops.build_r2c(desc, rdtype),
                                   last - nd))
+        out = list(shape)
+        out[last] = n_last // 2 + 1
+        # non-last axes run on the HALVED complex array: use the
+        # transpose-free axis stage (the axis-(-2) kernel when the
+        # trailing layout allows) via a split-complex lift
         for a in axes[:-1]:
             d = pl.plan_c2c(shape[a], rdtype, patience, batch=_vec(a))
             descriptors[a] = d
-            stages.append(_along_axis(
-                c2c_ops.build_c2c(d, K.FORWARD, rdtype), a - nd))
-        out = list(shape)
-        out[last] = n_last // 2 + 1
+            stages.append(_complex_of_split(
+                _c2c_stage(d, K.FORWARD, rdtype, a, tuple(out))))
         out_shape, out_dtype = tuple(out), ctype
 
     elif problem.kind == "c2r":
@@ -275,17 +287,17 @@ def make_plan(problem: Problem, flags: int = K.ESTIMATE,
         last = axes[-1]
         n_last = shape[last]
         nd = len(shape)
+        ins = list(shape)
+        ins[last] = n_last // 2 + 1
         for a in axes[:-1]:
             d = pl.plan_c2c(shape[a], rdtype, patience, batch=_vec(a))
             descriptors[a] = d
-            stages.append(_along_axis(
-                c2c_ops.build_c2c(d, K.BACKWARD, rdtype), a - nd))
+            stages.append(_complex_of_split(
+                _c2c_stage(d, K.BACKWARD, rdtype, a, tuple(ins))))
         desc = pl.plan_c2r(n_last, rdtype, patience, batch=_vec(last))
         descriptors[last] = desc
         stages.append(_along_axis(real_ops.build_c2r(desc, rdtype),
                                   last - nd))
-        ins = list(shape)
-        ins[last] = n_last // 2 + 1
         in_shape = tuple(ins)
         out_shape, out_dtype = shape, rdtype
 

@@ -466,8 +466,11 @@ std::vector<long> mixed_factors(long n, int direct_max, int patience) {
 
 // mirror of pallas_stockham.choose_radices: single stage up to
 // pallas_max_single, else the two-factor split minimizing the measured
-// stage-cost curve s(p) = 230/p + p/9, radices < 8 heavily penalized.
+// ASYMMETRIC stage-cost curves s1(p) = 230/p + p/9 (first stage) and
+// s2(q) = 230/q + q (second stage, steeper linear term under the
+// stacked-G kernels), radices < 8 heavily penalized.
 double pallas_stage_cost(long p) { return 230.0 / p + p / 9.0; }
+double pallas_stage2_cost(long q) { return 230.0 / q + (double)q; }
 
 // mirror of pallas_stockham.choose_fourstep: p pow2 in [8,128], largest
 // first, q a 128-multiple inside the fused-kernel window
@@ -487,7 +490,7 @@ bool pallas_radices(long n, int max_radix, int max_single,
   for (auto it = divs.rbegin(); it != divs.rend(); ++it) {
     long p = *it, q = n / p;
     if (!(q >= 2 && p >= q && p <= max_radix)) continue;
-    double cost = pallas_stage_cost(p) + pallas_stage_cost(q);
+    double cost = pallas_stage_cost(p) + pallas_stage2_cost(q);
     if (q < 8) cost += 1000.0;
     if (!have || cost < best_cost) {
       have = true;
