@@ -468,3 +468,29 @@ class TestGuruOutputStrides:
         y = np.asarray(p.execute(buf))
         ref = np.fft.fft(buf[0::2].astype(np.complex128))
         np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_wisdom_to_conf_roundtrip(tmp_path):
+    """fftw-wisdom-to-conf analog: the generated module installs wisdom on
+    import (no file I/O at startup)."""
+    import importlib.util
+    import subprocess
+    import sys as _sys
+
+    ftpu.forget_wisdom()
+    ftpu.plan_dft_1d(64)
+    wis = tmp_path / "w.json"
+    wis.write_text(ftpu.export_wisdom_to_string())
+    conf = tmp_path / "myconf.py"
+    r = subprocess.run(
+        [_sys.executable, "-m", "fftw3_tpu.tools.wisdom_to_conf",
+         "-w", str(wis), "-o", str(conf)],
+        capture_output=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr.decode()
+    ftpu.forget_wisdom()
+    assert the_planner.wisdom == {}
+    spec = importlib.util.spec_from_file_location("myconf", conf)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert any(k.startswith("c2c:64") for k in the_planner.wisdom)
+    ftpu.forget_wisdom()
