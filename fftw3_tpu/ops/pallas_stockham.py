@@ -291,7 +291,11 @@ def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0):
     done = 1
     rest = n
     ci = 0
-    st = jnp.concatenate([ar[None], ai[None]], 0)      # (2, n, TB)
+    # ai=None: REAL input (the r2c kernels) — the first stage contracts
+    # only the left (p-column) block of G, halving its MXU work instead
+    # of multiplying a zero imaginary plane
+    st = ar[None] if ai is None \
+        else jnp.concatenate([ar[None], ai[None]], 0)  # (2, n, TB)
     for si, p in enumerate(radices):
         q = rest // p
         G = crefs[ci][...]
@@ -299,8 +303,12 @@ def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0):
         # contraction over (c, j1): the (2, p, ...) major pair merges to
         # rows of ONE 2-D matmul on (2p, q*done*TB)
         M = q * done * tb
-        y = _gmm(G, st.reshape(2 * p, M),
-                 k2=(4 * p * M <= K2_MAX_BYTES))
+        if st.shape[0] == 1:
+            y = _gmm(G[:, :p], st.reshape(p, M),
+                     k2=(2 * p * M <= K2_MAX_BYTES))
+        else:
+            y = _gmm(G, st.reshape(2 * p, M),
+                     k2=(4 * p * M <= K2_MAX_BYTES))
         if q > 1:
             if done == 1 and tw_lanes == tb:
                 # flat twiddle on the 2-D matmul-output view (no
@@ -821,10 +829,9 @@ def _kernel_r2c(radices, n, tb, tw_lanes, *refs):
 
     v = jnp.transpose(x_ref[...])              # (n, tb)
     v = v.reshape(m, 2 * tb)                   # row j: [x[2j,:], x[2j+1,:]]
-    zero = jnp.zeros((m, tb), jnp.float32)
-    ar, ai = _stages(radices, m, tb, crefs, v[:, :tb], zero,   # A
+    ar, ai = _stages(radices, m, tb, crefs, v[:, :tb], None,   # A (real)
                      tw_lanes=tw_lanes)
-    br, bi = _stages(radices, m, tb, crefs, v[:, tb:], zero,   # B
+    br, bi = _stages(radices, m, tb, crefs, v[:, tb:], None,   # B (real)
                      tw_lanes=tw_lanes)
     afr = jnp.concatenate([ar, ar[0:1]], axis=0)          # (m+1, tb)
     afi = jnp.concatenate([ai, ai[0:1]], axis=0)

@@ -385,6 +385,7 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
                   transpose_method: str = "all_to_all",
                   overlap_chunks: Optional[int] = None,
                   vector_shardings: Optional[Dict[int, str]] = None,
+                  block0: Optional[int] = None,
                   _skip_measure: bool = False) -> DistPlan:
     """Slab-decomposed distributed c2c DFT, rank >= 1.
 
@@ -483,7 +484,16 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
     # mesh axis are padded up to a multiple for the shard_map program;
     # the transforms themselves always run at the true sizes (crop/pad
     # around the sharded-axis FFT), and the output is cropped back.
-    pad0 = (-shape[shard_axis]) % nproc
+    # An explicit block0 (fftw_mpi explicit-block analog) pads further so
+    # each rank holds exactly block0 rows.
+    if block0 is not None:
+        if block0 < default_block(shape[shard_axis], nproc):
+            raise ValueError(
+                f"block0={block0} < default block "
+                f"{default_block(shape[shard_axis], nproc)}")
+        pad0 = block0 * nproc - shape[shard_axis]
+    else:
+        pad0 = (-shape[shard_axis]) % nproc
     # pick the swap axis: another transform axis (prefer the next one)
     others = [a for a in axes if a != shard_axis]
     swap = others[0]

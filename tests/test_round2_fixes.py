@@ -494,3 +494,23 @@ def test_wisdom_to_conf_roundtrip(tmp_path):
     spec.loader.exec_module(mod)
     assert any(k.startswith("c2c:64") for k in the_planner.wisdom)
     ftpu.forget_wisdom()
+
+
+def test_explicit_block0(rng):
+    """fftw_mpi explicit-block analog: block0 sets the per-rank row count
+    (padding beyond the default ceil(n/P) block)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from fftw3_tpu.parallel import plan_dft_dist
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("x",))
+    shape = (10, 12, 8)
+    plan = plan_dft_dist(shape, mesh, "x", axes=(0, 1, 2), block0=4)
+    x = (rng.standard_normal(shape)
+         + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    y = np.asarray(plan(jax.device_put(x, plan.input_sharding())))
+    ref = np.fft.fftn(x.astype(np.complex128))
+    assert y.shape == shape
+    assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-5
+    with pytest.raises(ValueError):
+        plan_dft_dist(shape, mesh, "x", axes=(0, 1, 2), block0=2)
