@@ -514,3 +514,50 @@ def test_explicit_block0(rng):
     assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-5
     with pytest.raises(ValueError):
         plan_dft_dist(shape, mesh, "x", axes=(0, 1, 2), block0=2)
+
+
+def test_set_functional_flags_replans(interpret_pallas):
+    """The numpy-style surface can reach MEASURE planning."""
+    from fftw3_tpu import api
+    ftpu.forget_wisdom()
+    try:
+        ftpu.set_functional_flags(K.MEASURE)
+        x = np.ones((4, 256), np.complex64)
+        np.asarray(ftpu.fft(x))
+        assert the_planner.stats["nmeasure"] \
+            + the_planner.stats["nmeasure_failed"] > 0
+        assert api.get_functional_flags() == K.MEASURE
+    finally:
+        ftpu.set_functional_flags(K.ESTIMATE)
+        ftpu.forget_wisdom()
+
+
+def test_pallas4_fused_store_p128(interpret_pallas, rng):
+    """The p=128 four-step path stores (B, q, p) blocks in-VMEM; the
+    k2-major flatten must equal the plain swapaxes result."""
+    from fftw3_tpu.ops import pallas_stockham as ps
+    n = 16384
+    p, q = ps.choose_fourstep(n)
+    assert p == 128                       # full-lane store path
+    apply = ps.build_pallas_c2c_split_fourstep(
+        {"alg": "pallas4", "n": n, "p": p, "q": q}, -1, np.float32)
+    xr = rng.standard_normal((3, n)).astype(np.float32)
+    xi = rng.standard_normal((3, n)).astype(np.float32)
+    yr, yi = apply(xr, xi)
+    ref = np.fft.fft((xr + 1j * xi).astype(np.complex128), axis=1)
+    err = np.max(np.abs(np.asarray(yr) + 1j * np.asarray(yi) - ref)) \
+        / np.max(np.abs(ref))
+    assert err < 1e-3
+
+
+def test_real_first_stage_r2c(interpret_pallas, rng):
+    """ai=None first stage (left G block) must equal the full transform."""
+    from fftw3_tpu.ops import pallas_stockham as ps
+    for n in (256, 512, 2048):
+        apply = ps.build_pallas_r2c(
+            {"alg": "pallas_r2c", "n": n,
+             "radices": ps.choose_radices(n // 2)}, np.float32)
+        x = rng.standard_normal((4, n)).astype(np.float32)
+        y = np.asarray(apply(x))
+        ref = np.fft.rfft(x.astype(np.float64), axis=1)
+        assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-3
