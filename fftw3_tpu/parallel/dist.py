@@ -440,14 +440,15 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
             return plan_dft_dist(shape, mesh, axis_name, axes, sign,
                                  shard_axis, transposed_out, K.ESTIMATE,
                                  dtype, vector_shardings=vector_shardings,
-                                 _skip_measure=True, **prm)
+                                 block0=block0, _skip_measure=True, **prm)
         tag = (f"slab:{shape}:{axes}:{shard_axis}:{sign}:"
-               f"{int(transposed_out)}:{tuple(mesh.shape.items())}")
+               f"{int(transposed_out)}:{block0}:"
+               f"{tuple(mesh.shape.items())}")
         best = _measure_whole_plans(tag, build, params, np.dtype(dtype))
         return plan_dft_dist(shape, mesh, axis_name, axes, sign,
                              shard_axis, transposed_out, flags, dtype,
                              vector_shardings=vector_shardings,
-                             _skip_measure=True, **best)
+                             block0=block0, _skip_measure=True, **best)
 
     if shard_axis not in axes:
         # batch-sharded: all transform axes local (dft-rank1-bigvec analog)

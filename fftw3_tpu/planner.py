@@ -363,8 +363,11 @@ class Planner:
             if patience >= K.PATIENCE_MEASURE:
                 # let MEASURE time alternative radix schedules (the
                 # codelet-choice part of FFTW's search space); only valid
-                # inside the fused-kernel VMEM window
-                for rad in pallas_stockham.alternative_radices(n):
+                # inside the fused-kernel VMEM window.  Higher patience
+                # widens the schedule set (the EXHAUSTIVE ladder rung).
+                width = {K.PATIENCE_MEASURE: 3, K.PATIENCE_PATIENT: 6,
+                         K.PATIENCE_EXHAUSTIVE: 16}.get(patience, 3)
+                for rad in pallas_stockham.alternative_radices(n, width):
                     if rad != default_rad:
                         out.append({"alg": "pallas", "n": n, "radices": rad})
         if pallas_stockham.fourstep_applicable(n, rdtype):
