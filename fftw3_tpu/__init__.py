@@ -11,7 +11,8 @@ See SURVEY.md at the repo root for the mapping to the reference (FFTW 3.3.8).
 from . import parallel  # noqa: F401
 from .api import (  # noqa: F401
     BACKWARD, ESTIMATE, EXHAUSTIVE, FORWARD, MEASURE, PATIENT, Kind, Plan,
-    Problem, cleanup, cost, dct, dht, dst, estimate_cost, execute,
+    Problem, alignment_of, alloc_complex, alloc_real, cleanup, cost, dct,
+    dht, dst, estimate_cost, execute,
     export_wisdom_to_filename, export_wisdom_to_string, fft, fft2, fftfreq,
     fftn, fftshift, flops, forget_wisdom, idct, idst, ifft, ifft2, ifftn,
     ifftshift, import_system_wisdom, import_wisdom_from_filename,

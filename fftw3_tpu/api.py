@@ -507,3 +507,32 @@ fftfreq = jnp.fft.fftfreq
 rfftfreq = jnp.fft.rfftfreq
 fftshift = jnp.fft.fftshift
 ifftshift = jnp.fft.ifftshift
+
+
+# ---------------------------------------------------------------------------
+# source-compatibility shims (fftw3.h odds and ends)
+# ---------------------------------------------------------------------------
+
+#: fftw_version / fftw_cc / fftw_codelet_optim analogs (fftw3.h exports
+#: these as global strings; tools print them)
+version = "fftw3_tpu-2.0 (FFTW-3.3.8 capability surface, TPU-native)"
+cc = "jax/XLA/Pallas + g++ host tier"
+codelet_optim = "stacked-split-complex Stockham, bf16 hi/lo MXU"
+
+
+def alloc_real(n: int, dtype="float32") -> np.ndarray:
+    """fftw_alloc_real analog: a zeroed real buffer.  Alignment is XLA's
+    concern on TPU (fftw_malloc's SIMD-alignment role has no analog for
+    logical arrays); provided for source compatibility."""
+    return np.zeros(int(n), dtype=np.dtype(dtype))
+
+
+def alloc_complex(n: int, dtype="complex64") -> np.ndarray:
+    """fftw_alloc_complex analog (see alloc_real)."""
+    return np.zeros(int(n), dtype=np.dtype(dtype))
+
+
+def alignment_of(x) -> int:
+    """fftw_alignment_of analog: always 0 — every logical array is
+    'aligned'; plans never specialize on alignment."""
+    return 0

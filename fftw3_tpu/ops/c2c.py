@@ -271,24 +271,36 @@ def c2c_opcount(desc: Dict) -> Dict[str, float]:
             "fma": 3.0 * p * p * q + p * child["fma"],
         }
     if alg == "pallas":
+        # EXACT counts of the stacked-G implementation: each stage is one
+        # (2p, 2p) @ (2p, n/p) real contraction per transform -> 4*p*n
+        # MACs, plus the complex twiddle (4 mul + 2 add per point) on
+        # every stage but the last
         total = {"add": 0.0, "mul": 0.0, "fma": 0.0}
         rest = n
         for p in desc["radices"]:
             q = rest // p
-            batch = n // rest
-            total["add"] += 3.0 * p * p * q * batch
-            total["fma"] += 3.0 * p * p * q * batch
+            total["fma"] += 4.0 * p * n
             if q > 1:
-                total["mul"] += 6.0 * rest * batch
+                total["mul"] += 4.0 * n
+                total["add"] += 2.0 * n
             rest = q
         return total
     if alg == "pallas4":
-        p, q = desc["p"], desc["q"]
-        return {
-            "add": 3.0 * (p * p * q + q * q * p),
-            "mul": 6.0 * n,                      # fused four-step twiddle
-            "fma": 3.0 * (p * p * q + q * q * p),
-        }
+        # inner axis pass over p + pretwiddled outer pass over q, each with
+        # its own radix schedule (exact per the stacked-G implementation)
+        from . import pallas_stockham
+        total = {"add": 0.0, "mul": 4.0 * n, "fma": 0.0}   # four-step tw
+        total["add"] += 2.0 * n
+        for f in (desc["p"], desc["q"]):
+            rest = f
+            for r in pallas_stockham.choose_radices(f):
+                q2 = rest // r
+                total["fma"] += 4.0 * r * n       # (n/f)*4*r*f MACs
+                if q2 > 1:
+                    total["mul"] += 4.0 * n
+                    total["add"] += 2.0 * n
+                rest = q2
+        return total
     if alg == "bluestein":
         child = c2c_opcount(desc["child"])
         return {
