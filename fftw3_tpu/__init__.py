@@ -12,7 +12,7 @@ from . import parallel  # noqa: F401
 from .api import (  # noqa: F401
     BACKWARD, ESTIMATE, EXHAUSTIVE, FORWARD, MEASURE, PATIENT, Kind, Plan,
     Problem, alignment_of, alloc_complex, alloc_real, cleanup, cost, dct,
-    dht, dst, estimate_cost, execute,
+    dht, dst, estimate_cost, execute, export_wisdom, fprint_plan,
     export_wisdom_to_filename, export_wisdom_to_string, fft, fft2, fftfreq,
     fftn, fftshift, flops, forget_wisdom, idct, idst, ifft, ifft2, ifftn,
     ifftshift, import_system_wisdom, import_wisdom_from_filename,
@@ -20,6 +20,7 @@ from .api import (  # noqa: F401
     plan_dft_2d, plan_dft_3d, plan_dft_c2r, plan_dft_c2r_1d, plan_dft_c2r_2d,
     plan_dft_c2r_3d, plan_dft_r2c, plan_dft_r2c_1d, plan_dft_r2c_2d,
     plan_dft_r2c_3d, plan_guru_dft, plan_many_dft, plan_r2r, plan_r2r_1d,
+    plan_r2r_2d, plan_r2r_3d, import_wisdom,
     print_plan, rfft, rfft2, rfftfreq, rfftn, set_functional_flags,
     set_timelimit, sprint_plan)
 from .guru import plan_guru_dft  # noqa: F401  (iodim-aware; shadows api's)

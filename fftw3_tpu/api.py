@@ -156,6 +156,17 @@ def plan_r2r_1d(n: int, kind: Union[Kind, str], flags: int = ESTIMATE,
     return plan_r2r((n,), [kind], (0,), flags, dtype)
 
 
+def plan_r2r_2d(n0: int, n1: int, kind0, kind1, flags: int = ESTIMATE,
+                dtype="float32") -> Plan:
+    return plan_r2r((n0, n1), [kind0, kind1], (0, 1), flags, dtype)
+
+
+def plan_r2r_3d(n0: int, n1: int, n2: int, kind0, kind1, kind2,
+                flags: int = ESTIMATE, dtype="float32") -> Plan:
+    return plan_r2r((n0, n1, n2), [kind0, kind1, kind2], (0, 1, 2), flags,
+                    dtype)
+
+
 def plan_guru_dft(dims: Sequence[int], howmany_dims: Sequence[int] = (),
                   sign: int = FORWARD, flags: int = ESTIMATE,
                   dtype="complex64") -> Plan:
@@ -183,6 +194,11 @@ def cost(plan: Plan) -> float:
 
 def print_plan(plan: Plan) -> None:
     plan.print_plan()
+
+
+def fprint_plan(plan: Plan, file) -> None:
+    """fftw_fprint_plan analog: write the plan tree to a file object."""
+    print(repr(plan), file=file)
 
 
 def sprint_plan(plan: Plan) -> str:
@@ -219,6 +235,19 @@ def import_wisdom_from_filename(path: str) -> bool:
             return import_wisdom_from_string(f.read())
     except OSError:
         return False
+
+
+def export_wisdom(write_char) -> None:
+    """fftw_export_wisdom analog (the write-callback form): calls
+    ``write_char`` with the serialized wisdom (whole string — the
+    per-character C protocol is an implementation detail)."""
+    write_char(export_wisdom_to_string())
+
+
+def import_wisdom(read_char) -> bool:
+    """fftw_import_wisdom analog (the read-callback form): ``read_char``
+    returns the serialized wisdom string."""
+    return import_wisdom_from_string(read_char())
 
 
 def import_system_wisdom() -> bool:

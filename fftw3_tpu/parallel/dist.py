@@ -792,6 +792,68 @@ def local_size_many(n: Sequence[int], howmany: int, block0: Optional[int],
     return min(b, n0 - start), start
 
 
+def local_size(n: Sequence[int], nproc: int, rank: int):
+    """fftw_mpi_local_size (guru rank-n form): (local_n0, local_0_start)
+    of `rank` for an array block-distributed over axis 0."""
+    return local_size_1d(int(n[0]), nproc, rank)
+
+
+def local_size_transposed(n: Sequence[int], nproc: int, rank: int):
+    """fftw_mpi_local_size_transposed: input block over axis 0 plus the
+    TRANSPOSED_OUT block over axis 1."""
+    return (local_size_1d(int(n[0]), nproc, rank),
+            local_size_1d(int(n[1]), nproc, rank))
+
+
+def local_size_many_1d(n0: int, howmany: int, nproc: int, rank: int,
+                       scrambled_in: bool = False,
+                       scrambled_out: bool = False):
+    """fftw_mpi_local_size_many_1d analog for the six-step 1-D solver:
+    ((local_ni, local_i_start), (local_no, local_o_start)).  With the
+    default even distribution both sides use ceil(n0/P) row blocks of the
+    matrix view (scrambled flags don't change the counts here — the
+    six-step keeps n0/P points per rank either way)."""
+    del howmany, scrambled_in, scrambled_out
+    b = local_size_1d(n0, nproc, rank)
+    return b, b
+
+
+def local_size_many_transposed(n: Sequence[int], howmany: int,
+                               block0: Optional[int], block1: Optional[int],
+                               nproc: int, rank: int):
+    """fftw_mpi_local_size_many_transposed analog: explicit input/output
+    block sizes (None -> default)."""
+    n0, n1 = int(n[0]), int(n[1])
+    b0 = block0 or default_block(n0, nproc)
+    b1 = block1 or default_block(n1, nproc)
+    s0 = min(rank * b0, n0)
+    s1 = min(rank * b1, n1)
+    return (min(b0, n0 - s0), s0), (min(b1, n1 - s1), s1)
+
+
+def init() -> None:
+    """fftw_mpi_init analog.  JAX initializes the distributed runtime
+    itself (jax.distributed / the mesh); plan determinism across hosts is
+    by construction (deterministic native ESTIMATE search + wisdom
+    broadcast), so there are no planner hooks to install."""
+
+
+def mpi_cleanup() -> None:
+    """fftw_mpi_cleanup analog: forget wisdom (mirrors fftw_cleanup)."""
+    from .. import api
+    api.forget_wisdom()
+
+
+def execute_dft(plan: DistPlan, x):
+    """fftw_mpi_execute_dft analog (new-array execute on a DistPlan)."""
+    return plan(x)
+
+
+execute_dft_r2c = execute_dft
+execute_dft_c2r = execute_dft
+execute_r2r = execute_dft
+
+
 def alloc_local(n: Sequence[int], nproc: int, rank: int, howmany: int = 1,
                 transposed: bool = False) -> int:
     """FFTW's alloc_local return value: elements this rank must hold for an

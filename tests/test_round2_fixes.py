@@ -561,3 +561,32 @@ def test_real_first_stage_r2c(interpret_pallas, rng):
         y = np.asarray(apply(x))
         ref = np.fft.rfft(x.astype(np.float64), axis=1)
         assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-3
+
+
+def test_api_surface_shims():
+    """MIGRATING.md contract: every fftw3.h entry point has a live analog."""
+    import io
+
+    from fftw3_tpu import api, guru, threads
+    from fftw3_tpu import parallel as par
+
+    for name in ("plan_r2r_2d", "plan_r2r_3d", "fprint_plan",
+                 "export_wisdom", "import_wisdom", "alloc_real",
+                 "alloc_complex", "alignment_of"):
+        assert callable(getattr(api, name)), name
+    for name in ("init", "mpi_cleanup", "execute_dft", "execute_dft_r2c",
+                 "execute_dft_c2r", "execute_r2r", "local_size",
+                 "local_size_transposed", "local_size_many_1d",
+                 "local_size_many_transposed", "gather_wisdom",
+                 "broadcast_wisdom"):
+        assert callable(getattr(par, name)), name
+    assert isinstance(api.version, str) and "fftw3_tpu" in api.version
+    # oracle sanity
+    assert par.local_size((100, 7), 8, 7) == par.local_size_1d(100, 8, 7)
+    (i0, s0), (o0, _) = par.local_size_many_transposed((10, 12), 1, None,
+                                                      None, 4, 0)
+    assert (i0, s0) == (3, 0) and o0 == 3
+    p = ftpu.plan_dft_1d(16)
+    buf = io.StringIO()
+    api.fprint_plan(p, buf)
+    assert "plan" in buf.getvalue()
