@@ -47,8 +47,20 @@ def _bw_peak() -> float:
 
 
 def _timers():
+    """min-of-2 independent timing passes: the medians inside
+    time_chained/time_dispatched cancel sync jitter, but chip-state
+    variance between passes does not — FFTW's protocol takes the MIN over
+    repeats for exactly this reason (libbench2/timer.c:101-116)."""
     from fftw3_tpu.utils import timing
-    return timing.time_chained, timing.time_dispatched
+
+    def chained(fn, args, **kw):
+        return min(timing.time_chained(fn, args, **kw),
+                   timing.time_chained(fn, args, **kw))
+
+    def dispatched(fn, args, **kw):
+        return min(timing.time_dispatched(fn, args, **kw),
+                   timing.time_dispatched(fn, args, **kw))
+    return chained, dispatched
 
 
 def _relerr(actual: np.ndarray, ref: np.ndarray) -> float:

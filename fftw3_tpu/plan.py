@@ -200,6 +200,20 @@ def make_plan(problem: Problem, flags: int = K.ESTIMATE,
               planner: Optional[planner_mod.Planner] = None) -> Plan:
     pl = planner or planner_mod.the_planner
     patience = K.patience_of_flags(flags)
+    if flags & K.WISDOM_ONLY:
+        # FFTW_WISDOM_ONLY: plan only from existing wisdom, else fail
+        # (fftw3.h:487; the reference planner returns NULL).  Serialized
+        # by the api lock, so the temporary mode flag is safe.
+        pl.wisdom_only = True
+        try:
+            return _make_plan_inner(problem, flags, pl, patience)
+        finally:
+            pl.wisdom_only = False
+    return _make_plan_inner(problem, flags, pl, patience)
+
+
+def _make_plan_inner(problem: Problem, flags: int,
+                     pl: planner_mod.Planner, patience: int) -> Plan:
     rdtype = np.dtype(problem.rdtype)
     ctype = c2c_ops.complex_dtype(rdtype)
     shape = problem.shape

@@ -133,12 +133,19 @@ def _mixed_factor_candidates(n: int, patience: int) -> List[int]:
     return divs[:width]
 
 
+class WisdomOnlyMiss(ValueError):
+    """FFTW_WISDOM_ONLY requested but no wisdom covers a subproblem
+    (the reference returns NULL from the planner; fftw3.h:487)."""
+
+
 class Planner:
     """Singleton-style planner with wisdom (fftw_the_planner analog)."""
 
     def __init__(self, hw: HardwareModel = HW):
         self.hw = hw
         self.wisdom: Dict[str, Dict] = {}
+        #: FFTW_WISDOM_ONLY mode: accept any wisdom hit, never search
+        self.wisdom_only = False
         self.timelimit: Optional[float] = None
         #: let MEASURE mode also time XLA's built-in FFT custom-call as a
         #: competitor solver (off by default: the engine's own solvers are
@@ -194,7 +201,8 @@ class Planner:
                 del self.wisdom[key]
                 self.stats["nbogus"] = self.stats.get("nbogus", 0) + 1
             hit = None
-        if hit is not None and hit.get("patience", -1) >= patience:
+        if hit is not None and (hit.get("patience", -1) >= patience
+                                or self.wisdom_only):
             # wisdom-bogosity recovery rung 1 (fftw_api.c:283-315): a
             # structurally invalid entry (corrupt import, stale key) is
             # dropped and planning falls through to a fresh search
@@ -203,6 +211,9 @@ class Planner:
                 return hit["desc"]
             del self.wisdom[key]
             self.stats["nbogus"] = self.stats.get("nbogus", 0) + 1
+        if self.wisdom_only:
+            raise WisdomOnlyMiss(
+                f"FFTW_WISDOM_ONLY: no wisdom for {kind} n={n}")
         self.stats["nplan"] += 1
         if patience == K.PATIENCE_ESTIMATE and config.use_native:
             desc = self._plan_native(kind, n, rdtype, patience)

@@ -590,3 +590,17 @@ def test_api_surface_shims():
     buf = io.StringIO()
     api.fprint_plan(p, buf)
     assert "plan" in buf.getvalue()
+
+
+def test_wisdom_only_flag():
+    """FFTW_WISDOM_ONLY: plan from wisdom or fail (fftw3.h:487)."""
+    from fftw3_tpu.planner import WisdomOnlyMiss
+    ftpu.forget_wisdom()
+    with pytest.raises(WisdomOnlyMiss):
+        ftpu.plan_dft_1d(96, flags=K.ESTIMATE | K.WISDOM_ONLY)
+    ftpu.plan_dft_1d(96)                       # populate wisdom
+    p = ftpu.plan_dft_1d(96, flags=K.ESTIMATE | K.WISDOM_ONLY)
+    assert p.problem.shape == (96,)
+    # mode flag must not leak after the failure path
+    assert not the_planner.wisdom_only
+    ftpu.forget_wisdom()
