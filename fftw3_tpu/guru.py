@@ -118,7 +118,11 @@ class StridedGuruPlan:
             if idx_out is None:
                 return y
             if out is None:
-                out = jnp.zeros((out_size,), y.dtype)
+                # a fresh buffer has no surrounding context, so the element
+                # offset applies only to caller-provided buffers (scatter
+                # at offset into a too-small fresh buffer would silently
+                # drop elements — JAX clamps out-of-bounds scatters)
+                return jnp.zeros((out_size,), y.dtype).at[idx_out].set(y)
             return out.at[idx_out + offset].set(y)
         return fn
 

@@ -101,7 +101,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ftpu_plan_kind.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64]
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p,
+            ctypes.c_int64]
         lib.ftpu_plan_kind.restype = ctypes.c_int64
         _lib = lib
         return _lib
@@ -206,7 +207,7 @@ def plan_kind(kind: str, n: int, patience: int, allow_pallas: bool,
         need = lib.ftpu_plan_kind(
             kind.encode(), n, patience, int(allow_pallas), hw.hbm_bw,
             hw.peak_flops, hw.vpu_flops, planner_mod.DIRECT_MAX,
-            planner_mod.GENERIC_MAX, buf, cap)
+            planner_mod.GENERIC_MAX, planner_mod.R2R_GENERIC_MAX, buf, cap)
         if need < 0:
             return None
         if need <= cap:

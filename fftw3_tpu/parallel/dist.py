@@ -143,12 +143,14 @@ def measure_transpose_method(mesh: Mesh, axis_name: str,
 
     nproc = mesh.shape[axis_name]
     best, best_t = "all_to_all", float("inf")
-    rng = np.random.default_rng(0)
     shape = tuple(local_shape)
     full = (shape[0] * nproc,) + shape[1:]
     spec = P(*([axis_name] + [None] * (len(shape) - 1)))
-    x = jax.device_put(rng.standard_normal(full).astype(dtype),
-                       NamedSharding(mesh, spec))
+    # the timing input is created ON device inside a jit: complex arrays
+    # cannot cross some host<->device transports (the axon tunnel), and
+    # collective timing is value-independent anyway
+    x = jax.jit(lambda: jnp.zeros(full, dtype),
+                out_shardings=NamedSharding(mesh, spec))()
     for m in methods:
         impl = _TRANSPOSE_IMPLS[m]
         if m == "recurse" and nproc & (nproc - 1):
@@ -461,17 +463,9 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
                 x = _apply_along(fn, x, a)
             return x
         padb = (-shape[shard_axis]) % nproc
-        pre = post = None
-        if padb:                       # ragged batch blocks: pad-and-crop
-            def pre(x):
-                pads = [(0, 0)] * len(shape)
-                pads[shard_axis] = (0, padb)
-                return jnp.pad(x, pads)
-
-            def post(y):
-                sl = [slice(None)] * len(shape)
-                sl[shard_axis] = slice(0, shape[shard_axis])
-                return y[tuple(sl)]
+        pre, post = _ragged_pre_post(ndim, shard_axis, padb, shard_axis,
+                                     shape[shard_axis],
+                                     out_padded=bool(padb))
         return DistPlan(local_fn, mesh, in_spec, in_spec, shape,
                         "bigvec-local" + ("-ragged" if padb else ""),
                         pre=pre, post=post)
@@ -516,12 +510,20 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
                                              patience), sign, rdtype)
 
     # pick the chunking axis for communication/compute overlap: any axis
-    # not taking part in the global transpose, extent divisible by K
+    # not taking part in the global transpose whose LOCAL extent (the
+    # jnp.split runs inside shard_map, so vector-sharded dims are divided
+    # by their mesh axis first) is divisible by K
     chunk_axis = None
     if overlap_chunks > 1:
+        vs = {int(d) % ndim: nm for d, nm in
+              (vector_shardings or {}).items()}
         for cand in range(ndim - 1, -1, -1):
-            if cand not in (shard_axis, swap) and \
-                    shape[cand] % overlap_chunks == 0:
+            if cand in (shard_axis, swap):
+                continue
+            local_ext = shape[cand]
+            if cand in vs:
+                local_ext //= mesh.shape[vs[cand]]
+            if local_ext % overlap_chunks == 0:
                 chunk_axis = cand
                 break
         if chunk_axis is None:

@@ -133,6 +133,12 @@ def _mixed_factor_candidates(n: int, patience: int) -> List[int]:
     return divs[:width]
 
 
+#: wisdom format version.  v2: keys carry the batch bucket (":b<N>").
+#: Bump whenever the key schema changes so stale exports are rejected
+#: loudly instead of importing permanently-dead entries.
+WISDOM_FORMAT = "fftw3-tpu-wisdom-2"
+
+
 class WisdomOnlyMiss(ValueError):
     """FFTW_WISDOM_ONLY requested but no wisdom covers a subproblem
     (the reference returns NULL from the planner; fftw3.h:487)."""
@@ -494,14 +500,17 @@ class Planner:
 
     # -- wisdom I/O (fftw_export_wisdom analog, fftw_api.c:895-1171) ------
     def export_wisdom(self) -> str:
-        return json.dumps({"format": "fftw3-tpu-wisdom-1",
+        return json.dumps({"format": WISDOM_FORMAT,
                            "signature": _device_signature(),
                            "entries": self.wisdom}, indent=1)
 
     def import_wisdom(self, s: str) -> bool:
         try:
             data = json.loads(s)
-            if data.get("format") != "fftw3-tpu-wisdom-1":
+            if data.get("format") != WISDOM_FORMAT:
+                # older format versions fail LOUDLY (import returns False)
+                # rather than importing entries whose keys can never hit —
+                # the role of FFTW's wisdom version string
                 return False
             self.wisdom.update(data["entries"])
             return True
@@ -641,7 +650,7 @@ def _measure_fn(kind: str, desc: Dict, n: int, rdtype,
 def _batch_bucket(batch: Optional[int]) -> str:
     """Coarse power-of-4 bucket of the vector size for wisdom keys: fine
     enough that tile-occupancy regimes separate (128 vs 65536 batches land
-    in buckets 3 and 8), coarse enough that keys don't explode."""
+    in buckets 4 and 8), coarse enough that keys don't explode."""
     if batch is None:
         return "d"
     return str(max(1, int(batch)).bit_length() // 2)

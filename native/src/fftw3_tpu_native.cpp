@@ -879,6 +879,7 @@ API int64_t ftpu_plan_kind(const char* kind, int64_t n, int32_t patience,
                            int32_t allow_pallas, double hbm_bw,
                            double peak_flops, double vpu_flops,
                            int32_t direct_max, int32_t generic_max,
+                           int32_t r2r_generic_max,
                            char* out, int64_t cap) {
   search::Ctx c;
   c.prm.hw.hbm_bw = hbm_bw;
@@ -886,6 +887,7 @@ API int64_t ftpu_plan_kind(const char* kind, int64_t n, int32_t patience,
   c.prm.hw.vpu_flops = vpu_flops;
   c.prm.direct_max = direct_max;
   c.prm.generic_max = generic_max;
+  c.prm.r2r_generic_max = r2r_generic_max;
   c.prm.allow_pallas = allow_pallas;
   c.prm.patience = patience;
   int root = search::plan_kind(c, std::string(kind), (long)n);

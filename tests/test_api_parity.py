@@ -118,7 +118,8 @@ class TestWisdomTool:
         out = tmp_path / "wis.json"
         assert main(["-e", "-o", str(out), "c64", "r32"]) == 0
         data = json.loads(out.read_text())
-        assert data["format"] == "fftw3-tpu-wisdom-1"
+        from fftw3_tpu.planner import WISDOM_FORMAT
+        assert data["format"] == WISDOM_FORMAT
         assert len(data["entries"]) >= 2
         ftpu.forget_wisdom()
         assert ftpu.import_wisdom_from_filename(str(out))

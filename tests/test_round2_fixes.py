@@ -604,3 +604,44 @@ def test_wisdom_only_flag():
     # mode flag must not leak after the failure path
     assert not the_planner.wisdom_only
     ftpu.forget_wisdom()
+
+
+def test_guru_offset_with_output_strides(rng):
+    """Code-review fix: a fresh scatter buffer must not silently drop
+    elements when an input offset is given."""
+    from fftw3_tpu import guru
+    p = guru.plan_guru_dft([guru.iodim(4, 1, 2)])
+    x = (rng.standard_normal(5) + 1j * rng.standard_normal(5)) \
+        .astype(np.complex64)
+    y = np.asarray(p.execute(x, offset=1))
+    ref = np.fft.fft(x[1:5].astype(np.complex128))
+    np.testing.assert_allclose(y[0::2], ref, rtol=1e-4, atol=1e-4)
+    # all four bins present (bin k=3 was dropped before the fix)
+    assert y.shape == (7,)
+
+
+def test_overlap_chunks_with_vector_sharding(rng):
+    """Code-review fix: the chunk axis divisibility check must use the
+    LOCAL extent of vector-sharded dims."""
+    import jax
+    from jax.sharding import Mesh
+
+    from fftw3_tpu.parallel import plan_dft_dist
+    devs = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("dp", "x"))
+    plan = plan_dft_dist((4, 4, 6), mesh, "x", axes=(1, 2), shard_axis=1,
+                         overlap_chunks=4, vector_shardings={0: "dp"})
+    x = (rng.standard_normal((4, 4, 6))
+         + 1j * rng.standard_normal((4, 4, 6))).astype(np.complex64)
+    y = np.asarray(plan(jax.device_put(x, plan.input_sharding())))
+    ref = np.fft.fftn(x.astype(np.complex128), axes=(1, 2))
+    assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-5
+
+
+def test_old_wisdom_format_rejected():
+    """Code-review fix: stale key-schema exports fail loudly on import."""
+    import json
+    old = json.dumps({"format": "fftw3-tpu-wisdom-1", "entries": {
+        "c2c:64:float32:cpu": {"desc": {"alg": "direct", "n": 64},
+                               "patience": 0}}})
+    assert not ftpu.import_wisdom_from_string(old)
