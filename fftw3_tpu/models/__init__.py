@@ -7,3 +7,6 @@ from .poisson import (laplacian_periodic, solve_dirichlet,  # noqa: F401
                       solve_neumann, solve_periodic)
 from .spectral import (derivative, distributed_filter_step,  # noqa: F401
                        gradient, lowpass_transfer, spectral_filter)
+from .navier_stokes import (distributed_step_fn,  # noqa: F401
+                            step_fn as navier_stokes_step,
+                            taylor_green_vorticity)

@@ -110,3 +110,46 @@ class TestSpectral:
         assert float(l1) < 1e-10      # identity filter reconstructs exactly
         h2, l2 = step(h1 + 0.1, xr, xi)
         assert float(l2) > 0          # perturbed filter: nonzero loss
+
+
+class TestNavierStokes:
+    """Pseudo-spectral 2-D NS: Taylor-Green decays analytically (the
+    nonlinear term vanishes exactly for this flow)."""
+
+    def test_taylor_green_decay(self):
+        ny = nx = 64
+        nu, dt = 0.05, 0.01
+        step = jax.jit(models.navier_stokes_step(ny, nx, nu, dt))
+        w = jnp.asarray(models.taylor_green_vorticity(ny, nx, kappa=2))
+        w0 = np.asarray(w)
+        for _ in range(50):
+            w = step(w)
+        expect = w0 * np.exp(-2.0 * nu * 4 * 50 * dt)
+        got = np.asarray(w)
+        assert np.max(np.abs(got - expect)) / np.max(np.abs(expect)) < 2e-3
+
+    def test_energy_decays_generic_flow(self, rng):
+        ny = nx = 32
+        step = jax.jit(models.navier_stokes_step(ny, nx, nu=0.02, dt=0.01))
+        w = jnp.asarray(rng.standard_normal((ny, nx)).astype(np.float32))
+        w = w - jnp.mean(w)
+        e0 = float(jnp.sum(w * w))
+        for _ in range(20):
+            w = step(w)
+        e1 = float(jnp.sum(w * w))
+        assert np.isfinite(e1) and e1 < e0      # viscous dissipation
+
+    def test_distributed_matches_single(self, rng):
+        mesh = jax.make_mesh((4,), ("x",))
+        ny = nx = 32
+        nu, dt = 0.03, 0.01
+        dstep, in_sh = models.distributed_step_fn(ny, nx, nu, dt, mesh)
+        sstep = jax.jit(models.navier_stokes_step(ny, nx, nu, dt))
+        w0 = rng.standard_normal((ny, nx)).astype(np.float32)
+        w_d = jax.device_put(w0, in_sh)
+        w_s = jnp.asarray(w0)
+        for _ in range(5):
+            w_d = dstep(w_d)
+            w_s = sstep(w_s)
+        a, b = np.asarray(w_d), np.asarray(w_s)
+        assert np.max(np.abs(a - b)) / np.max(np.abs(b)) < 1e-4
