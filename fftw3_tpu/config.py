@@ -22,8 +22,9 @@ matmul_precision: str = "high"
 pallas_mode: str = "auto"
 
 #: MXU arithmetic inside the fused Pallas kernels: 'bf16x3' (default —
-#: operands split hi+lo, 3 one-pass bf16 matmuls per product, rel err
-#: ~1e-5, 12% faster) | 'highest' (6-pass, rel err ~1e-7)
+#: operands split hi+lo bf16; the stacked stage matmul runs as an hh pass
+#: plus a fused cross-term pass, rel err ~5e-6) | 'highest' (6-pass f32,
+#: rel err ~1e-7, slower)
 pallas_matmul: str = "bf16x3"
 
 #: Route plan-time host work (ESTIMATE search, hashing, wisdom) through the

@@ -60,7 +60,8 @@ from . import matrices
 #: largest stage radix (one (r, r) DFT-matrix contraction on the MXU)
 MAX_RADIX = 256
 #: single-stage (whole-transform matmul) ceiling: measured cheaper than any
-#: two-stage split up to here ([256] beats [16,16]: 59 vs 63 ps/pt)
+#: two-stage split up to here (round-2 stacked kernels: [256] beats
+#: [16,16] 44-47 vs 54-58 ps/pt — no twiddle/permute VMEM sweeps)
 MAX_SINGLE = 256
 
 
@@ -88,9 +89,9 @@ MAX_N = 2048
 
 
 def tile_for(n: int) -> int:
-    """Batch-lane tile.  128 lanes measured fastest across sizes under
-    bf16x3 (256 raises VMEM pressure from the hi/lo split temporaries:
-    59 vs 72 ps/pt at n=1024); also the hard minimum lane width."""
+    """Batch-lane tile.  128 lanes measured fastest across sizes (256
+    raised VMEM pressure round 1 and measured 128 ps/pt under the stacked
+    kernels round 2; 64 is below the minimum f32 lane width)."""
     return 128
 
 
@@ -487,12 +488,6 @@ def _make_call(n: int, radices: Sequence[int], sign: int, tb: int,
 INNER_AREA = MAX_N * 64
 
 
-def _inner_group(n: int, tl: int) -> int:
-    """Leading rows per grid step (power of two, >= 1)."""
-    g = max(1, INNER_AREA // max(n * tl, 1))
-    return 1 << (g.bit_length() - 1)
-
-
 #: the axis-(-2) form keeps more live planes than the last-axis form (the
 #: 3-D blocks + relayouts); n * first-radix above this measured bound
 #: blows scoped VMEM (n=2048 with p=128 fails; p=64 fits)
@@ -527,8 +522,6 @@ def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
     dims); G leading rows amortize per-block overhead for small n."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-
-    gmax = _inner_group(n, tl)
 
     def make_fn(pre, L):
         # budget an (n x lanes) working set ~ the 1-D kernel's: first widen
