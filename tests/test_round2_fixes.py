@@ -645,3 +645,57 @@ def test_old_wisdom_format_rejected():
         "c2c:64:float32:cpu": {"desc": {"alg": "direct", "n": 64},
                                "patience": 0}}})
     assert not ftpu.import_wisdom_from_string(old)
+
+
+class TestRaggedEdges:
+    def test_r2c_ragged_transposed_out(self, rng):
+        import jax
+        from jax.sharding import Mesh
+
+        from fftw3_tpu.parallel import plan_dft_r2c_dist
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("x",))
+        shape = (10, 10, 8)                   # both 10s ragged over 4
+        plan = plan_dft_r2c_dist(shape, mesh, "x", axes=(0, 1, 2),
+                                 transposed_out=True)
+        x = rng.standard_normal(shape).astype(np.float32)
+        y = np.asarray(plan(jax.device_put(x, plan.input_sharding())))
+        ref = np.fft.rfftn(x.astype(np.float64))
+        assert y.shape == ref.shape
+        assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-5
+
+    def test_six_step_scrambled_ragged_raises(self):
+        import jax
+        from jax.sharding import Mesh
+
+        from fftw3_tpu.parallel import plan_dft_1d_dist
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("x",))
+        # n=40 -> R=10 ragged; SCRAMBLED_OUT is undefined with pad rows
+        with pytest.raises(ValueError):
+            plan_dft_1d_dist(40, mesh, "x", scrambled_out=True)
+
+    def test_ragged_gradients_flow(self, rng):
+        """Grad through a ragged distributed plan (pad/crop are linear)."""
+        import jax
+        from jax.sharding import Mesh
+
+        from fftw3_tpu.parallel import plan_dft_dist
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("x",))
+        shape = (6, 12, 4)
+        plan = plan_dft_dist(shape, mesh, "x", axes=(0, 1))
+
+        def loss(xr, xi):
+            y = plan.apply(xr + 1j * xi)
+            return jnp_abs2(y)
+
+        import jax.numpy as jnp
+
+        def jnp_abs2(y):
+            return jnp.sum(jnp.abs(y) ** 2)
+
+        xr = rng.standard_normal(shape).astype(np.float32)
+        xi = rng.standard_normal(shape).astype(np.float32)
+        g = jax.grad(loss)(jnp.asarray(xr), jnp.asarray(xi))
+        # Parseval: d/dx sum|F x|^2 = 2 * N_transform * x
+        ntrans = shape[0] * shape[1]
+        np.testing.assert_allclose(np.asarray(g), 2.0 * ntrans * xr,
+                                   rtol=1e-4, atol=1e-3)
