@@ -14,7 +14,7 @@ def interpret_pallas():
     old = config.pallas_mode
     old_pts = config.measure_points
     config.pallas_mode = "interpret"
-    config.measure_points = 1 << 14      # interpret-mode timing is slow
+    config.measure_points = 1 << 12      # interpret-mode timing is slow
     yield
     config.pallas_mode = old
     config.measure_points = old_pts
@@ -380,7 +380,7 @@ class TestDistWholePlanMeasure:
         from jax.sharding import Mesh
         mesh = Mesh(np.asarray(jax.devices()[:4]), ("x",))
         the_planner.forget_wisdom()
-        plan = plan_dft_dist((8, 16, 16), mesh, "x", axes=(0, 1, 2),
+        plan = plan_dft_dist((8, 8, 8), mesh, "x", axes=(0, 1, 2),
                              flags=K.MEASURE)
         keys = [k for k in the_planner.wisdom if k.startswith("dist:slab")]
         assert keys, "whole-plan measure must memoize a dist: wisdom entry"
@@ -388,14 +388,14 @@ class TestDistWholePlanMeasure:
         assert choice["transpose_method"] in ("all_to_all", "ppermute",
                                               "recurse")
         # correctness of the timed winner
-        x = (rng.standard_normal((8, 16, 16))
-             + 1j * rng.standard_normal((8, 16, 16))).astype(np.complex64)
+        x = (rng.standard_normal((8, 8, 8))
+             + 1j * rng.standard_normal((8, 8, 8))).astype(np.complex64)
         y = np.asarray(plan(jax.device_put(x, plan.input_sharding())))
         ref = np.fft.fftn(x.astype(np.complex128))
         assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-5
         # second call is a wisdom hit
         before = the_planner.stats["nwisdom_hit"]
-        plan_dft_dist((8, 16, 16), mesh, "x", axes=(0, 1, 2),
+        plan_dft_dist((8, 8, 8), mesh, "x", axes=(0, 1, 2),
                       flags=K.MEASURE)
         assert the_planner.stats["nwisdom_hit"] > before
         the_planner.forget_wisdom()
@@ -407,12 +407,12 @@ class TestDistWholePlanMeasure:
         from jax.sharding import Mesh
         mesh = Mesh(np.asarray(jax.devices()[:4]), ("x",))
         the_planner.forget_wisdom()
-        plan = plan_dft_1d_dist(256, mesh, "x", flags=K.MEASURE)
+        plan = plan_dft_1d_dist(64, mesh, "x", flags=K.MEASURE)
         keys = [k for k in the_planner.wisdom
                 if k.startswith("dist:sixstep")]
         assert keys
-        x = (rng.standard_normal(256)
-             + 1j * rng.standard_normal(256)).astype(np.complex64)
+        x = (rng.standard_normal(64)
+             + 1j * rng.standard_normal(64)).astype(np.complex64)
         y = np.asarray(plan(jax.device_put(x, plan.input_sharding())))
         ref = np.fft.fft(x.astype(np.complex128))
         assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 1e-5
