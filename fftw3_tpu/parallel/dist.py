@@ -388,7 +388,9 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
                   overlap_chunks: Optional[int] = None,
                   vector_shardings: Optional[Dict[int, str]] = None,
                   block0: Optional[int] = None,
-                  _skip_measure: bool = False) -> DistPlan:
+                  transposed_in: bool = False,
+                  _skip_measure: bool = False,
+                  _swap: Optional[int] = None) -> DistPlan:
     """Slab-decomposed distributed c2c DFT, rank >= 1.
 
     `shape` is the global array shape; the array is sharded along
@@ -396,6 +398,18 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
     transform axis this reduces to purely-local plans (bigvec analog).
     With ``transposed_out=True`` the result is sharded along the swap axis
     instead — no final global transpose (TRANSPOSED_OUT analog).
+
+    With ``transposed_in=True`` the INPUT is in the transposed format — the
+    exact layout a ``transposed_out`` plan of the same (shape, shard_axis)
+    produces (sharded over the swap axis) — so the one global transpose of
+    this plan returns the data to natural orientation
+    (``fftw/mpi/dft-rank-geq2-transposed.c:22-80`` TRANSPOSED_IN analog,
+    flag semantics ``fftw/mpi/ifftw-mpi.h:30-151``).  A
+    forward(transposed_out) -> pointwise -> inverse(transposed_in) round
+    trip therefore pays exactly TWO global transposes total instead of
+    four.  ``transposed_in`` together with ``transposed_out`` keeps the
+    transposed layout on both sides (two transposes).  For rank-1
+    transforms the flags map to the six-step solver's SCRAMBLED formats.
 
     ``overlap_chunks=K > 1`` pipelines communication with compute: the
     global-transpose + sharded-axis-FFT phase is split into K independent
@@ -415,6 +429,21 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
     axes = tuple(a % ndim for a in
                  (range(ndim) if axes is None else axes))
     shard_axis %= ndim
+    if transposed_in:
+        if shard_axis not in axes:
+            raise ValueError("transposed_in needs the sharded axis to be "
+                             "a transform axis")
+        if len(axes) >= 2:
+            # Role reversal: the transposed-format input arrives sharded
+            # over the axis the forward's transposed_out picked (its swap);
+            # this plan's one global transpose returns it to natural
+            # orientation.  A transposed_in request is therefore the
+            # mirror plan: shard/swap exchanged, out-format flag flipped.
+            t = _swap if _swap is not None \
+                else [a for a in axes if a != shard_axis][0]
+            shard_axis, _swap = t, shard_axis
+            transposed_out = not transposed_out
+            transposed_in = False
     nproc = mesh.shape[axis_name]
     rdtype = np.float32 if np.dtype(dtype) in (np.complex64, np.float32) \
         else np.float64
@@ -442,15 +471,17 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
             return plan_dft_dist(shape, mesh, axis_name, axes, sign,
                                  shard_axis, transposed_out, K.ESTIMATE,
                                  dtype, vector_shardings=vector_shardings,
-                                 block0=block0, _skip_measure=True, **prm)
+                                 block0=block0, _skip_measure=True,
+                                 _swap=_swap, **prm)
         tag = (f"slab:{shape}:{axes}:{shard_axis}:{sign}:"
-               f"{int(transposed_out)}:{block0}:"
+               f"{int(transposed_out)}:{block0}:{_swap}:"
                f"{tuple(mesh.shape.items())}")
         best = _measure_whole_plans(tag, build, params, np.dtype(dtype))
         return plan_dft_dist(shape, mesh, axis_name, axes, sign,
                              shard_axis, transposed_out, flags, dtype,
                              vector_shardings=vector_shardings,
-                             block0=block0, _skip_measure=True, **best)
+                             block0=block0, _skip_measure=True,
+                             _swap=_swap, **best)
 
     if shard_axis not in axes:
         # batch-sharded: all transform axes local (dft-rank1-bigvec analog)
@@ -473,7 +504,8 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
     if len(axes) == 1:
         return _plan_six_step(shape, mesh, axis_name, axes[0], sign,
                               flags, rdtype, transpose_method, in_spec,
-                              scrambled_out=transposed_out)
+                              scrambled_out=transposed_out,
+                              scrambled_in=transposed_in)
 
     # ragged blocks (mpi/block.c analog): extents not divisible by the
     # mesh axis are padded up to a multiple for the shard_map program;
@@ -489,9 +521,10 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
         pad0 = block0 * nproc - shape[shard_axis]
     else:
         pad0 = (-shape[shard_axis]) % nproc
-    # pick the swap axis: another transform axis (prefer the next one)
+    # pick the swap axis: another transform axis (prefer the next one);
+    # a transposed_in role reversal forces it (the original shard axis)
     others = [a for a in axes if a != shard_axis]
-    swap = others[0]
+    swap = _swap if _swap is not None else others[0]
     pad1 = (-shape[swap]) % nproc
     # "measure" times the candidates at the ACTUAL exchange-time local
     # shape: padded shard rows over P, other dims, padded swap extent last
@@ -569,17 +602,20 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
 def plan_dft_1d_dist(n: int, mesh: Mesh, axis_name: str = "x",
                      sign: int = K.FORWARD, flags: int = K.ESTIMATE,
                      dtype="complex64", scrambled_out: bool = False,
+                     scrambled_in: bool = False,
                      transpose_method: str = "all_to_all",
                      batch_shape: Tuple[int, ...] = ()) -> DistPlan:
     """Distributed 1-D DFT of size n, sharded over its only axis
-    (six-step, mpi/dft-rank1.c analog).  Input shape: batch_shape + (n,)."""
+    (six-step, mpi/dft-rank1.c analog).  Input shape: batch_shape + (n,).
+    ``scrambled_in`` consumes a ``scrambled_out`` plan's output format
+    directly (FFTW_MPI_SCRAMBLED_IN, ``fftw/mpi/api.c:248-510``)."""
     shape = tuple(batch_shape) + (n,)
     rdtype = np.float32 if np.dtype(dtype) in (np.complex64, np.float32) \
         else np.float64
     in_spec = P(*([None] * len(batch_shape) + [axis_name]))
     return _plan_six_step(shape, mesh, axis_name, len(shape) - 1, sign,
                           flags, rdtype, transpose_method, in_spec,
-                          scrambled_out)
+                          scrambled_out, scrambled_in=scrambled_in)
 
 
 def _six_step_radix_candidates(n: int, nproc: int, k: int = 3):
@@ -598,10 +634,24 @@ def _six_step_radix_candidates(n: int, nproc: int, k: int = 3):
 
 def _plan_six_step(shape, mesh, axis_name, axis, sign, flags, rdtype,
                    transpose_method, in_spec, scrambled_out,
-                   radix_R=None, _skip_measure=False):
+                   scrambled_in=False, radix_R=None, _skip_measure=False):
     """Six-step 1-D DFT over a sharded axis: n = R*C viewed as an (R, C)
     matrix; out[c + R*d] = F_C_d( w^{rc} * F_R_c(x[r, c]) ) (four-step
-    identity; radix choice analog of mpi/choose-radix.c)."""
+    identity; radix choice analog of mpi/choose-radix.c).
+
+    ``scrambled_in`` (FFTW_MPI_SCRAMBLED_IN, ``fftw/mpi/dft-rank1.c:20-60``)
+    consumes exactly the format a ``scrambled_out`` plan of the same
+    (n, nproc) produces — the row-sharded (R/P, C) matrix with
+    M[c, d] = x[c + R*d] — running the pipeline in the reversed data-
+    movement order: DFT_C along the LOCAL rows, twiddle w^{c*j1}, ONE
+    global transpose, DFT_R, final transpose to natural block layout.
+    Two global transposes instead of three, so a forward(scrambled_out) ->
+    pointwise -> backward(scrambled_in) loop pays 4 instead of 6.
+    With ``scrambled_out`` as well the final transpose is also skipped
+    (one transpose total) and the output is the j1-sharded (R, C/P)
+    matrix flattened j2-major — a layout consumed only by this library's
+    own scrambled_in when R == C (FFTW likewise leaves the combined
+    format undocumented)."""
     if axis != len(shape) - 1:
         raise NotImplementedError("six-step expects the sharded transform "
                                   "axis last; move it with jnp.moveaxis")
@@ -611,9 +661,16 @@ def _plan_six_step(shape, mesh, axis_name, axis, sign, flags, rdtype,
     pl = planner_mod.the_planner
     if patience >= K.PATIENCE_MEASURE and not _skip_measure:
         # whole-plan MEASURE: radix R and transpose method compete as
-        # complete plans (fftw/mpi/conf.c + choose-radix, planner-timed)
+        # complete plans (fftw/mpi/conf.c + choose-radix, planner-timed).
+        # Scrambled formats pin R to the deterministic choice: producer
+        # (scrambled_out) and consumer (scrambled_in) plans are planned
+        # separately and their matrix views must agree.
+        if scrambled_out or scrambled_in:
+            radii = [_choose_six_step_radix(n, nproc)]
+        else:
+            radii = _six_step_radix_candidates(n, nproc)
         params = [{"radix_R": r, "transpose_method": m}
-                  for r in _six_step_radix_candidates(n, nproc)
+                  for r in radii
                   for m in _transpose_method_candidates(nproc)]
         if len(params) > 1:
             ctype = c2c_ops.complex_dtype(rdtype)
@@ -623,22 +680,24 @@ def _plan_six_step(shape, mesh, axis_name, axis, sign, flags, rdtype,
                                       K.ESTIMATE, rdtype,
                                       in_spec=in_spec,
                                       scrambled_out=scrambled_out,
+                                      scrambled_in=scrambled_in,
                                       _skip_measure=True, **prm)
             tag = (f"sixstep:{shape}:{sign}:{int(scrambled_out)}:"
-                   f"{tuple(mesh.shape.items())}")
+                   f"{int(scrambled_in)}:{tuple(mesh.shape.items())}")
             best = _measure_whole_plans(tag, build, params, ctype)
             return _plan_six_step(shape, mesh, axis_name, axis, sign,
                                   flags, rdtype, in_spec=in_spec,
                                   scrambled_out=scrambled_out,
+                                  scrambled_in=scrambled_in,
                                   _skip_measure=True, **best)
     # choose R ~ sqrt(n) with nproc | C (nproc | R preferred; otherwise the
     # row dimension is ragged and padded below)
     R = radix_R if radix_R is not None else _choose_six_step_radix(n, nproc)
     C = n // R
     Rp = R + ((-R) % nproc)            # padded row count (ragged blocks)
-    if Rp != R and scrambled_out:
-        raise ValueError("SCRAMBLED_OUT needs nproc | R; this (n, nproc) "
-                         "pair is ragged — use natural output")
+    if Rp != R and (scrambled_out or scrambled_in):
+        raise ValueError("SCRAMBLED_IN/OUT needs nproc | R; this "
+                         "(n, nproc) pair is ragged — use natural layout")
     transpose = _resolve_transpose(
         transpose_method, mesh, axis_name, shape, np.complex64,
         exchange_local=(Rp // nproc, C))   # the actual matrix-view block
@@ -650,6 +709,29 @@ def _plan_six_step(shape, mesh, axis_name, axis, sign, flags, rdtype,
     W = np.asarray(matrices.twiddle_2d(R, C, sign), dtype=ctype)
 
     nb = len(shape) - 1
+
+    def local_fn_sci(x, wr, wi):
+        # scrambled input: local rows c of the (R, C) matrix view,
+        # M[c, d] = x[c + R*d] — the scrambled_out format.  Reversed
+        # data-movement order: the column DFT is local FIRST.
+        w = wr + 1j * wi
+        bshape = x.shape[:-1]
+        x = x.reshape(*bshape, R // nproc, C)
+        # step 1: DFT_C along the local d axis -> A[c, j1]
+        x = _apply_along(pl_C, x, nb + 1)
+        # step 2: twiddle w^{c*j1} (w = the local R/P-row slice of W)
+        x = x * w
+        # step 3: ONE global transpose -> (R, C/P)
+        x = transpose(x, axis_name, split_axis=nb + 1, concat_axis=nb)
+        # step 4: DFT_R down the rows: [j2, j1] holds out[j1 + C*j2]
+        x = _apply_along(pl_R, x, nb)
+        if scrambled_out:
+            # combined-format output: j1-sharded matrix, j2-major flatten
+            return x.reshape(*bshape, R * (C // nproc))
+        # step 5: transpose to natural block layout (j2-row blocks local;
+        # j2 is the major part of the flat index j1 + C*j2)
+        x = transpose(x, axis_name, split_axis=nb, concat_axis=nb + 1)
+        return x.reshape(*bshape, (R // nproc) * C)
 
     def local_fn(x, wr, wi):
         # x local: batch + (Rp*C/P,) == batch + (Rp/P, C) rows of the
@@ -685,7 +767,11 @@ def _plan_six_step(shape, mesh, axis_name, axis, sign, flags, rdtype,
             x = jax.lax.slice_in_dim(x, 0, R, axis=nb + 1)
         return x.reshape(*bshape, C // nproc * R)
 
-    w_spec = P(*([None] * nb + [None, axis_name]))
+    # scrambled_in twiddles at the row-sharded stage; natural-in at the
+    # column-sharded stage — the SAME (R, C) matrix, different slicing
+    w_spec = P(*([None] * nb
+                 + ([axis_name, None] if scrambled_in
+                    else [None, axis_name])))
     out_spec = in_spec
 
     class _SixStep(DistPlan):
@@ -698,9 +784,11 @@ def _plan_six_step(shape, mesh, axis_name, axis, sign, flags, rdtype,
             # evenly — even when the row dimension R is ragged
             self._ragged_in = False
             self.desc = f"six-step R={R} C={C}" + \
+                (" scrambled_in" if scrambled_in else "") + \
                 (" scrambled" if scrambled_out else "") + \
                 (" ragged" if Rp != R else "")
-            inner = jax.shard_map(local_fn, mesh=mesh,
+            inner = jax.shard_map(local_fn_sci if scrambled_in
+                                  else local_fn, mesh=mesh,
                                   in_specs=(in_spec, w_spec, w_spec),
                                   out_specs=out_spec)
             sh = NamedSharding(mesh, w_spec)

@@ -148,3 +148,122 @@ def test_grad_through_dist_plan(rng):
     with jax.set_mesh(mesh):
         g = jax.grad(loss, holomorphic=False)(xg)
     assert g.shape == (8, 8, 8)
+
+
+# ---------------------------------------------------------------------------
+# TRANSPOSED_IN / SCRAMBLED_IN input formats (round-3)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("p", [2, 4])
+def test_slab_transposed_in(x3d, p):
+    """TRANSPOSED_IN analog (mpi/dft-rank-geq2-transposed.c): the inverse
+    plan consumes the forward's transposed_out layout directly and returns
+    natural layout."""
+    mesh = make_mesh(p)
+    fwd = plan_dft_dist(x3d.shape, mesh, dtype="complex128",
+                        transposed_out=True)
+    bwd = plan_dft_dist(x3d.shape, mesh, dtype="complex128",
+                        sign=ftpu.BACKWARD, transposed_in=True)
+    assert bwd.in_spec == fwd.out_spec
+    xg = sharded(x3d, mesh, fwd.in_spec)
+    y = bwd(fwd(xg))
+    assert relerr(y, x3d * x3d.size) < 1e-10       # unnormalized roundtrip
+    assert y.sharding.spec == bwd.out_spec == fwd.in_spec
+
+
+def test_slab_transposed_in_and_out(x3d):
+    """Both flags: stays in the transposed layout end to end."""
+    mesh = make_mesh(4)
+    fwd = plan_dft_dist(x3d.shape, mesh, dtype="complex128",
+                        transposed_out=True)
+    both = plan_dft_dist(x3d.shape, mesh, dtype="complex128",
+                         transposed_in=True, transposed_out=True)
+    assert both.in_spec == fwd.out_spec == both.out_spec
+    # apply fwd to get transposed-layout spectrum, then `both` on it and
+    # compare against the composed transform in natural layout
+    xg = sharded(x3d, mesh, fwd.in_spec)
+    z = both(fwd(xg))
+    ref = np.fft.fftn(np.fft.fftn(x3d))
+    # undo the transposed layout: z is the logical fftn(fftn(x)) array
+    assert relerr(z, ref) < 1e-9
+
+
+def test_transposed_roundtrip_two_alltoalls(x3d):
+    """The VERDICT round-3 contract: a distributed convolution via
+    forward(transposed_out) -> pointwise -> inverse(transposed_in) pays
+    exactly TWO global transposes total (ifftw-mpi.h:30-151 semantics) —
+    asserted on the compiled HLO."""
+    import re
+    mesh = make_mesh(4)
+    h = np.random.default_rng(7).standard_normal(x3d.shape) + 0.5
+    fwd = plan_dft_dist(x3d.shape, mesh, dtype="complex128",
+                        transposed_out=True)
+    bwd = plan_dft_dist(x3d.shape, mesh, dtype="complex128",
+                        sign=ftpu.BACKWARD, transposed_in=True)
+
+    def conv(x, hh):
+        return bwd.apply(fwd.apply(x) * hh)
+
+    xg = sharded(x3d, mesh, fwd.in_spec)
+    hg = sharded(h.astype("complex128"), mesh, fwd.out_spec)
+    hlo = jax.jit(conv).lower(xg, hg).compile().as_text()
+    n_a2a = len(re.findall(r"all-to-all(?:-start)?\(", hlo))
+    assert n_a2a == 2, f"expected 2 all-to-alls, compiled HLO has {n_a2a}"
+    y = np.asarray(conv(xg, hg))
+    ref = np.fft.ifftn(np.fft.fftn(x3d) * h) * x3d.size
+    assert relerr(y, ref) < 1e-10
+
+
+@pytest.mark.parametrize("p", [2, 4])
+def test_six_step_scrambled_in_roundtrip(rng, p):
+    """SCRAMBLED_IN analog (mpi/dft-rank1.c): backward consumes the
+    forward's scrambled output; natural result, 4 transposes total."""
+    mesh = make_mesh(p)
+    n = 4096
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    fwd = plan_dft_1d_dist(n, mesh, dtype="complex128", scrambled_out=True)
+    bwd = plan_dft_1d_dist(n, mesh, dtype="complex128", sign=ftpu.BACKWARD,
+                           scrambled_in=True)
+    xg = sharded(x, mesh, fwd.in_spec)
+    y = bwd(fwd(xg))
+    assert relerr(y, x * n) < 1e-10
+    assert y.sharding.spec == bwd.out_spec
+
+
+def test_six_step_scrambled_filter(rng):
+    """Convolution in the scrambled domain: pointwise multiply needs the
+    filter in the scrambled layout; result matches the natural-domain
+    oracle.  Also asserts the 2+2 all-to-all count in the compiled HLO."""
+    import re
+    mesh = make_mesh(4)
+    n = 4096
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    h = rng.standard_normal(n) + 0.5
+    fwd = plan_dft_1d_dist(n, mesh, dtype="complex128", scrambled_out=True)
+    bwd = plan_dft_1d_dist(n, mesh, dtype="complex128", sign=ftpu.BACKWARD,
+                           scrambled_in=True)
+    R = int(fwd.desc.split("R=")[1].split()[0])
+    C = n // R
+    # scramble h: value h[c + R*d] goes to flat position c*C + d
+    h_scr = np.ascontiguousarray(h.reshape(C, R).T).reshape(n)
+
+    def conv(xx, hh):
+        return bwd.apply(fwd.apply(xx) * hh)
+
+    xg = sharded(x, mesh, fwd.in_spec)
+    hg = sharded(h_scr.astype("complex128"), mesh, fwd.out_spec)
+    hlo = jax.jit(conv).lower(xg, hg).compile().as_text()
+    n_a2a = len(re.findall(r"all-to-all(?:-start)?\(", hlo))
+    assert n_a2a == 4, f"expected 4 all-to-alls, compiled HLO has {n_a2a}"
+    y = np.asarray(conv(xg, hg))
+    ref = np.fft.ifft(np.fft.fft(x) * h) * n
+    assert relerr(y, ref) < 1e-10
+
+
+def test_scrambled_in_ragged_rejected(rng):
+    """nproc does not divide R: scrambled_in must refuse (the row blocks
+    would be ragged), mirroring the scrambled_out rejection."""
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError, match="SCRAMBLED"):
+        plan_dft_1d_dist(72, mesh, dtype="complex128",
+                         scrambled_in=True)
