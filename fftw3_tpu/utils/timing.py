@@ -33,16 +33,27 @@ import jax
 import numpy as np
 
 _slice1 = None
+_sum1 = None
 
 
 def sync(out) -> None:
     """Force completion of everything `out` depends on (4-byte fetch).
-    Fetches the real part: complex arrays cannot cross the tunnel."""
-    global _slice1
+    Fetches the real part: complex arrays cannot cross the tunnel.
+    Multi-device (sharded) outputs sync through a scalar reduction —
+    slicing a sharded dim is unimplemented, and the sum depends on every
+    shard, so nothing can be elided."""
+    global _slice1, _sum1
+    leaf = jax.tree.leaves(out)[0]
+    if getattr(leaf, "sharding", None) is not None \
+            and len(leaf.sharding.device_set) > 1:
+        if _sum1 is None:
+            import jax.numpy as jnp
+            _sum1 = jax.jit(lambda t: jnp.real(t).sum())
+        np.asarray(_sum1(leaf))
+        return
     if _slice1 is None:
         import jax.numpy as jnp
         _slice1 = jax.jit(lambda t: jnp.real(t).ravel()[:1])
-    leaf = jax.tree.leaves(out)[0]
     np.asarray(_slice1(leaf))
 
 
