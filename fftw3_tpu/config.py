@@ -36,6 +36,28 @@ use_native: bool = True
 #: dispatch floor; tests drop it to keep interpret-mode timing cheap.
 measure_points: int = 1 << 23
 
+#: MEASURE hysteresis: a measured winner must satisfy
+#: t_winner < measure_hysteresis * t_estimate_choice to override the
+#: ESTIMATE ranking (fftw evaluates plans purely by time; this engine
+#: keeps a margin because timing noise varies by transport).  None = auto:
+#: 0.7 through the remote axon tunnel, whose chip-state drift flips
+#: near-ties (2-3x swings lasting minutes — measured round 2), 0.95 on
+#: locally-attached backends where a 5-25%% MEASURE win is real signal.
+#: Set 1.0 to always trust the measurement.
+measure_hysteresis = None
+
+
+def resolved_measure_hysteresis() -> float:
+    if measure_hysteresis is not None:
+        return float(measure_hysteresis)
+    import os
+    # tunnel-attached = the axon platform is requested AND jax actually
+    # backs onto it (the axon backend registers as "tpu"); a process that
+    # forced jax_platforms=cpu times locally even under the axon container
+    tunneled = "axon" in os.environ.get("JAX_PLATFORMS", "").lower() \
+        and jax.default_backend() == "tpu"
+    return 0.7 if tunneled else 0.95
+
 
 def precision():
     return {"highest": jax.lax.Precision.HIGHEST,

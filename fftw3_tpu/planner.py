@@ -158,6 +158,7 @@ class Planner:
         #: the product; flip on to sanity-check against the platform).
         self.allow_xla = False
         self._measure_t0: float = 0.0
+        self._measure_truncated = False
         self.stats = {"nplan": 0, "nmeasure": 0, "nwisdom_hit": 0,
                       "nmeasure_failed": 0}
         #: hook called with (key, desc, cost) on every planned subproblem —
@@ -207,8 +208,10 @@ class Planner:
                 del self.wisdom[key]
                 self.stats["nbogus"] = self.stats.get("nbogus", 0) + 1
             hit = None
-        if hit is not None and (hit.get("patience", -1) >= patience
-                                or self.wisdom_only):
+        if hit is not None and (self.wisdom_only
+                                or (hit.get("patience", -1) >= patience
+                                    and self._budget_subsumes(hit,
+                                                              patience))):
             # wisdom-bogosity recovery rung 1 (fftw_api.c:283-315): a
             # structurally invalid entry (corrupt import, stale key) is
             # dropped and planning falls through to a fresh search
@@ -244,10 +247,32 @@ class Planner:
             best, cost = self._measure_best(kind, n, rdtype, cands, batch)
         # planner counters (nplan/pcost/epcost, fftw/fftw_api.h:896-900)
         self.stats["pcost"] = self.stats.get("pcost", 0.0) + cost
-        self.wisdom[key] = {"desc": best, "patience": patience, "cost": cost}
+        entry = {"desc": best, "patience": patience, "cost": cost}
+        if getattr(self, "_measure_truncated", False):
+            # timelimit-aware subsumption (timelimit_to_flags +
+            # `subsumes`, fftw/fftw_api.c:126-142, :14748): a truncated
+            # search records its budget so a later request with a larger
+            # (or no) timelimit re-searches instead of being masked by a
+            # possibly-poor rushed plan
+            entry["budget"] = self.timelimit
+        self._measure_truncated = False
+        self.wisdom[key] = entry
         if self.hook is not None:
             self.hook(key, best, cost)
         return best
+
+    def _budget_subsumes(self, hit: Dict, patience: int) -> bool:
+        """Does the wisdom entry's search budget cover this request?
+        Entries without a 'budget' field completed their search; truncated
+        entries only serve requests with an equal-or-tighter timelimit
+        (FFTW encodes the timelimit into the impatience lattice so
+        `subsumes` sees it; fftw_api.c:126-142)."""
+        if patience < K.PATIENCE_MEASURE:
+            return True                # ESTIMATE requests never time
+        b = hit.get("budget")
+        if b is None:
+            return True
+        return self.timelimit is not None and self.timelimit <= b
 
     def _plan_native(self, kind: str, n: int, rdtype, patience: int
                      ) -> Optional[Dict]:
@@ -398,7 +423,12 @@ class Planner:
                                   None if batch is None else batch * p)
             out.append({"alg": "mixed", "n": n, "p": p, "child": child})
         lpf = primes.largest_prime_factor(n)
-        if lpf > DIRECT_MAX or (patience >= K.PATIENCE_PATIENT and n > 16):
+        # the PATIENT-extra bluestein (racing a padded size even for
+        # mildly-smooth n) requires lpf > 5 so its own pow2/5-smooth
+        # children can never regenerate the candidate — without that
+        # gate, planning a pow2 size at PATIENT recursed n -> 2n -> ...
+        if lpf > DIRECT_MAX or (patience >= K.PATIENCE_PATIENT and n > 16
+                                and lpf > 5):
             m = primes.next_pow2(2 * n - 1)
             out.append({"alg": "bluestein", "n": n, "m": m,
                         "child": self.plan_c2c(m, rdtype, patience, batch)})
@@ -478,11 +508,13 @@ class Planner:
             else timing.time_dispatched
         prepared = []                 # (desc, fn, args) that compile
         times: Dict[int, float] = {}
+        self._measure_truncated = False
         for rnd in range(2):
             for i, desc in enumerate(cands):
                 if (self.timelimit is not None and times
                         and time.perf_counter() - self._measure_t0
                         > self.timelimit):
+                    self._measure_truncated = True
                     break
                 try:
                     if rnd == 0:
@@ -514,13 +546,16 @@ class Planner:
             best = min(cands, key=lambda d: self._cost(kind, d))
             return best, self._cost(kind, best)
         besti = min(times, key=times.get)
-        # hysteresis: the tunnel's chip-state drift still flips near-ties
-        # (2-3x slowdowns lasting minutes can poison both passes of one
-        # candidate), so a measured winner must beat the ESTIMATE choice
-        # by >30% to override it — MEASURE's job here is catching large
-        # algorithmic surprises, not re-litigating calibrated near-ties
+        # hysteresis: a measured winner must beat the ESTIMATE choice by
+        # the configured margin to override it.  The margin is a config
+        # knob with a transport-calibrated default (0.7 through the noisy
+        # remote tunnel, 0.95 locally — config.resolved_measure_hysteresis)
+        # because MEASURE's job on a noisy transport is catching large
+        # algorithmic surprises, not re-litigating near-ties, while on
+        # real hardware a 5-25% win is signal worth keeping.
+        hyst = config.resolved_measure_hysteresis()
         if 0 in times and besti != 0 \
-                and times[besti] > 0.7 * times[0]:
+                and times[besti] > hyst * times[0]:
             besti = 0
         return cands[besti], times[besti]
 
