@@ -267,3 +267,44 @@ def test_scrambled_in_ragged_rejected(rng):
     with pytest.raises(ValueError, match="SCRAMBLED"):
         plan_dft_1d_dist(72, mesh, dtype="complex128",
                          scrambled_in=True)
+
+
+def test_overlap_chunks_keep_independent_collectives(rng):
+    """VERDICT r2 weak #7 / SURVEY §7 hard-part 4: the ``overlap_chunks=K``
+    slab program must keep K INDEPENDENT chunk-sized all_to_alls in the
+    compiled HLO — not one barrier-like combined exchange — so XLA's
+    latency-hiding scheduler can overlap chunk k+1's collective with chunk
+    k's sharded-axis FFT on real ICI.  (The reference never overlapped:
+    the TODO at fftw/mpi/transpose-pairwise.c:53.)  Until real multi-chip
+    hardware exists this HLO-structure check is the overlap evidence."""
+    import re
+    mesh = make_mesh(8)
+    s = (16, 12, 256)
+    x = (rng.standard_normal(s) + 1j * rng.standard_normal(s))
+    plans = {k: plan_dft_dist(s, mesh, axes=(0, 2), shard_axis=0,
+                              dtype="complex128", overlap_chunks=k)
+             for k in (1, 4)}
+    ys = {k: pl(sharded(x, mesh, pl.in_spec)) for k, pl in plans.items()}
+    ref = np.fft.fftn(x, axes=(0, 2))
+    for k, y in ys.items():
+        assert relerr(y, ref) < 1e-10, f"overlap_chunks={k}"
+
+    def a2a_defs(plan):
+        """(name, result-shape-text) of every all-to-all DEFINITION in the
+        optimized module (get-tuple-element users also mention the name, so
+        match only `%all-to-all[.N] = ...`)."""
+        xg = sharded(x, mesh, plan.in_spec)
+        hlo = plan._fn.lower(xg).compile().as_text()
+        return re.findall(
+            r"(%all-to-all(?:-start)?[.\d]*) = (\S+)", hlo)
+    d1 = a2a_defs(plans[1])
+    d4 = a2a_defs(plans[4])
+    # natural-output slab = transpose there AND back: 2 exchanges per chunk
+    assert len(d1) == 2
+    assert len(d4) == 8, \
+        f"chunked exchanges were combined: {[n for n, _ in d4]}"
+    # each chunk's exchange moves 1/K of the slab (local chunk extent
+    # 12/4 = 3): chunk-sized operands prove the split survived into the
+    # collectives instead of being re-fused into one barrier
+    assert all("[2,3,32]" in shp for _, shp in d4), d4
+    assert all("[2,12,32]" in shp for _, shp in d1), d1
