@@ -158,27 +158,39 @@ def bench_r2c_2d(n: int, batch: int = 8):
 
 
 def bench_dct2(n: int, batch: int):
+    """DCT-II at the chained-MARGINAL-slope protocol: time_chained at two
+    batch sizes, interleaved per rep (time_chained_multi), report the
+    per-point slope.  The single-batch chained number for this config
+    showed a 1.7x session spread (BASELINE.md round 2) because the dense
+    kind-matrix matmul is short enough for chip-state drift to dominate;
+    the interleaved slope cancels both the dispatch floor and the drift."""
     import jax
     import jax.numpy as jnp
 
     import fftw3_tpu as ftpu
+    from fftw3_tpu.utils import timing
 
-    plan = ftpu.plan_r2r((batch, n), ["redft10"], axes=(1,), dtype="float32")
+    b1, b2 = batch // 4, batch
+    plan = ftpu.plan_r2r((b2, n), ["redft10"], axes=(1,), dtype="float32")
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
-    run = jax.jit(plan.apply)
+    run = jax.jit(lambda a: (plan.apply(a),))
 
-    y = np.asarray(run(x)[:64])
+    x2 = jnp.asarray(rng.standard_normal((b2, n)), jnp.float32)
+    y = np.asarray(run(x2)[0][:64])
     # FFTW REDFT10: X[k] = 2 sum_j x[j] cos(pi(j+1/2)k/n)
     j = np.arange(n)[:, None]
     k = np.arange(n)[None, :]
     M = 2.0 * np.cos(np.pi * (j + 0.5) * k / n)
-    ref = np.asarray(x[:64]).astype(np.float64) @ M
+    ref = np.asarray(x2[:64]).astype(np.float64) @ M
     relerr = _check(_relerr(y, ref), f"dct2 n={n}")
 
-    time_chained, _ = _timers()
-    t = time_chained(lambda a: (run(a),), (x,))
-    flops = 2.5 * n * np.log2(float(n)) * batch
+    plan1 = ftpu.plan_r2r((b1, n), ["redft10"], axes=(1,), dtype="float32")
+    run1 = jax.jit(lambda a: (plan1.apply(a),))
+    x1 = jnp.asarray(rng.standard_normal((b1, n)), jnp.float32)
+    t1, t2 = timing.time_chained_multi([(run1, (x1,)), (run, (x2,))],
+                                       reps=7)
+    t = max(t2 - t1, 1e-12)                 # marginal time for b2-b1 rows
+    flops = 2.5 * n * np.log2(float(n)) * (b2 - b1)
     return flops / t, t, repr(plan), relerr
 
 

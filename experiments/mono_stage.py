@@ -140,7 +140,16 @@ def main():
     rad = ps.choose_radices(n)
     interp = jax.default_backend() != "tpu"
 
-    def check(run, tag):
+    prod = ps.build_pallas_c2c_split(
+        {"alg": "pallas", "n": n, "radices": rad}, -1, np.float32)
+    variants = [(f"prod r{rad}", prod),
+                ("mono", make_mono(n, rad, -1, 128, interpret=interp)),
+                ("mono_bf16perm",
+                 make_mono(n, rad, -1, 128, bf16perm=True,
+                           interpret=interp))]
+
+    good = []
+    for tag, run in variants:
         xr = rng.standard_normal((256, n)).astype(np.float32)
         xi = rng.standard_normal((256, n)).astype(np.float32)
         try:
@@ -148,28 +157,28 @@ def main():
             ref = np.fft.fft((xr + 1j * xi).astype(np.complex128), axis=1)
             err = np.max(np.abs(np.asarray(yr) + 1j * np.asarray(yi) - ref)
                          ) / np.max(np.abs(ref))
-            if interp:
-                print(f"{tag}: relerr={err:.1e}", flush=True)
-                return
-            ts = {}
-            for b in (8192, 24576):
-                xrb = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
-                xib = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
-                ts[b] = timing.time_chained(jax.jit(run), (xrb, xib),
-                                            k1=4, k2=16, reps=7)
-            s = (ts[24576] - ts[8192]) / (16384 * n) * 1e12
-            print(f"{tag}: {s:.1f} ps/pt relerr={err:.1e}", flush=True)
+            print(f"{tag}: relerr={err:.1e}", flush=True)
+            if err < 1e-4:
+                good.append((tag, run))
         except Exception as e:
             print(f"{tag}: FAIL {str(e)[:200]}", flush=True)
+    if interp:
+        return
 
-    prod = ps.build_pallas_c2c_split(
-        {"alg": "pallas", "n": n, "radices": rad}, -1, np.float32)
-    check(prod, f"prod[A] n={n} r{rad}")
-    check(make_mono(n, rad, -1, 128, interpret=interp),
-          f"mono n={n}")
-    check(make_mono(n, rad, -1, 128, bf16perm=True, interpret=interp),
-          f"mono_bf16perm n={n}")
-    check(prod, f"prod[A2] n={n}")
+    # fully interleaved marginal-slope A/B: per config, per batch size —
+    # only the per-rep-interleaved protocol survives chip-state drift
+    configs = []
+    for tag, run in good:
+        for b in (8192, 24576):
+            xrb = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
+            xib = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
+            configs.append((jax.jit(run), (xrb, xib)))
+    ts = timing.time_chained_multi(configs, k1=4, k2=16, reps=9)
+    for i, (tag, _) in enumerate(good):
+        s = (ts[2 * i + 1] - ts[2 * i]) / (16384 * n) * 1e12
+        print(f"{tag}: {s:.1f} ps/pt  "
+              f"(t8k={ts[2*i]*1e3:.2f}ms t24k={ts[2*i+1]*1e3:.2f}ms)",
+              flush=True)
 
 
 if __name__ == "__main__":

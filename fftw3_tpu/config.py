@@ -36,6 +36,19 @@ use_native: bool = True
 #: dispatch floor; tests drop it to keep interpret-mode timing cheap.
 measure_points: int = 1 << 23
 
+#: FFTW_RANDOM_ESTIMATOR analog (fftw/fftw_api.c:15090-15104): an integer
+#: seed makes the planner's cost estimator return deterministic
+#: pseudo-random values, so repeated planning under different seeds walks
+#: plans the calibrated estimator would never pick — the fuzzer's tool for
+#: exercising every solver composition path.  None = off (real costs).
+random_estimator = None
+
+#: Disable the compensated-f32 double-float tier for complex128/f64 plans
+#: (ops/df32.py): with ``strict_f64 = True`` every f64 plan computes in
+#: true (XLA-emulated) f64 arithmetic, ~1e-16 instead of ~1e-13 — at
+#: roughly 25-100x the cost on TPU, which has no f64 units.
+strict_f64: bool = False
+
 #: MEASURE hysteresis: a measured winner must satisfy
 #: t_winner < measure_hysteresis * t_estimate_choice to override the
 #: ESTIMATE ranking (fftw evaluates plans purely by time; this engine

@@ -64,13 +64,20 @@ def random_problem_string(rng: np.random.Generator, maxsize: int = 512,
 
 
 def run_fuzz(count: int, seed: int, maxsize: int, patience_flags: int,
-             verbose: bool = False) -> int:
+             verbose: bool = False, random_estimator: bool = False) -> int:
+    """``random_estimator=True`` re-rolls the planner's cost oracle per
+    problem (FFTW_RANDOM_ESTIMATOR, fftw/fftw_api.c:15090-15104) so
+    verification reaches solver compositions the calibrated estimator
+    never picks."""
+    from .. import config
     from .verify import VerificationError, verify_problem
 
     rng = np.random.default_rng(seed)
     failures = 0
     for i in range(count):
         ps = random_problem_string(rng, maxsize=maxsize)
+        if random_estimator:
+            config.random_estimator = int(rng.integers(1 << 30))
         try:
             res = verify_problem(ps, flags=patience_flags, rounds=2,
                                  seed=int(rng.integers(1 << 31)))
@@ -83,6 +90,9 @@ def run_fuzz(count: int, seed: int, maxsize: int, patience_flags: int,
             failures += 1
             print(f"ERROR {ps}: {type(exc).__name__}: {exc}",
                   file=sys.stderr)
+        finally:
+            if random_estimator:
+                config.random_estimator = None
     return failures
 
 
@@ -92,11 +102,13 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--maxsize", type=int, default=512)
     ap.add_argument("--patient", action="store_true")
+    ap.add_argument("--random-estimator", action="store_true",
+                    help="re-roll the planner cost oracle per problem")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
     flags = K.PATIENT if args.patient else K.ESTIMATE
     failures = run_fuzz(args.count, args.seed, args.maxsize, flags,
-                        args.verbose)
+                        args.verbose, random_estimator=args.random_estimator)
     print(f"fuzz: {args.count - failures}/{args.count} passed")
     return 1 if failures else 0
 

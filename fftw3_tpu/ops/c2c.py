@@ -172,6 +172,10 @@ def build_c2c_split(desc: Dict, sign: int, rdtype) -> SplitApply:
             return zr, zi
         return apply_mixed
 
+    if alg == "df32":
+        from . import df32
+        return df32.build_df32_c2c_split(desc, sign, rdtype)
+
     if alg == "pallas":
         from . import pallas_stockham
         return pallas_stockham.build_pallas_c2c_split(desc, sign, rdtype)
@@ -270,6 +274,20 @@ def c2c_opcount(desc: Dict) -> Dict[str, float]:
             "mul": 6.0 * n + p * child["mul"],          # twiddle mult
             "fma": 3.0 * p * p * q + p * child["fma"],
         }
+    if alg == "df32":
+        # underlying f32 VPU ops of the double-float pipeline (df add = 11
+        # real adds; df mul = 9 mul + 12 add; complex df mul = 4 df mul +
+        # 2 df add): per stage n(p-1) complex df adds, plus (p-1)^2 dense
+        # butterfly products per group for p not in {2, 4} (whose +-1/+-i
+        # coefficients are free), plus p-1 twiddle products per group
+        total = {"add": 0.0, "mul": 0.0, "fma": 0.0}
+        for p in desc["radices"]:
+            g = n / p
+            cmul = g * ((0 if p in (2, 4) else (p - 1) ** 2) + (p - 1))
+            cadd = n * (p - 1)
+            total["add"] += cadd * 22.0 + cmul * 70.0
+            total["mul"] += cmul * 36.0
+        return total
     if alg == "pallas":
         # EXACT counts of the stacked-G implementation: each stage is one
         # (2p, 2p) @ (2p, n/p) real contraction per transform -> 4*p*n

@@ -350,6 +350,30 @@ class DistPlan:
         if pre is None and post is None:
             self._fn = jax.jit(inner)
         else:
+            if any(t == jax.sharding.AxisType.Explicit
+                   for t in mesh.axis_types):
+                # under explicit-sharding meshes the jit-level pad/crop of
+                # a non-divisible sharded dim is unimplemented in the
+                # sharding type system; run them in Auto mode so GSPMD
+                # inserts the reshards (the ragged-block price).  An
+                # UNEVENLY sharded result is unrepresentable entirely —
+                # drop the sharding of non-divisible result axes (the
+                # explicit-mode analog of FFTW's uneven last block).
+                from jax.sharding import auto_axes
+
+                def _even(spec, shape):
+                    names = list(spec) + [None] * (len(shape) - len(spec))
+                    return P(*[nm if nm is not None and
+                               shape[d] % mesh.shape[nm] == 0 else None
+                               for d, nm in enumerate(names)])
+                if pre is not None:
+                    pre = auto_axes(pre, out_sharding=NamedSharding(
+                        mesh, in_spec))
+                if post is not None:
+                    self.out_spec = _even(out_spec, global_shape)
+                    post = auto_axes(post, out_sharding=NamedSharding(
+                        mesh, self.out_spec))
+
             def outer(x):
                 if pre is not None:
                     x = pre(x)
@@ -388,6 +412,7 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
                   overlap_chunks: Optional[int] = None,
                   vector_shardings: Optional[Dict[int, str]] = None,
                   block0: Optional[int] = None,
+                  block1: Optional[int] = None,
                   transposed_in: bool = False,
                   _skip_measure: bool = False,
                   _swap: Optional[int] = None) -> DistPlan:
@@ -471,17 +496,17 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
             return plan_dft_dist(shape, mesh, axis_name, axes, sign,
                                  shard_axis, transposed_out, K.ESTIMATE,
                                  dtype, vector_shardings=vector_shardings,
-                                 block0=block0, _skip_measure=True,
-                                 _swap=_swap, **prm)
+                                 block0=block0, block1=block1,
+                                 _skip_measure=True, _swap=_swap, **prm)
         tag = (f"slab:{shape}:{axes}:{shard_axis}:{sign}:"
-               f"{int(transposed_out)}:{block0}:{_swap}:"
+               f"{int(transposed_out)}:{block0}:{block1}:{_swap}:"
                f"{tuple(mesh.shape.items())}")
         best = _measure_whole_plans(tag, build, params, np.dtype(dtype))
         return plan_dft_dist(shape, mesh, axis_name, axes, sign,
                              shard_axis, transposed_out, flags, dtype,
                              vector_shardings=vector_shardings,
-                             block0=block0, _skip_measure=True,
-                             _swap=_swap, **best)
+                             block0=block0, block1=block1,
+                             _skip_measure=True, _swap=_swap, **best)
 
     if shard_axis not in axes:
         # batch-sharded: all transform axes local (dft-rank1-bigvec analog)
@@ -525,7 +550,17 @@ def plan_dft_dist(shape: Sequence[int], mesh: Mesh, axis_name: str = "x",
     # a transposed_in role reversal forces it (the original shard axis)
     others = [a for a in axes if a != shard_axis]
     swap = _swap if _swap is not None else others[0]
-    pad1 = (-shape[swap]) % nproc
+    # explicit output block (block1, fftw_mpi_local_size_many_transposed
+    # analog, mpi/api.c:248-510): the swap-axis decomposition granularity
+    # of the exchange and of a transposed_out result
+    if block1 is not None:
+        if block1 < default_block(shape[swap], nproc):
+            raise ValueError(
+                f"block1={block1} < default block "
+                f"{default_block(shape[swap], nproc)}")
+        pad1 = block1 * nproc - shape[swap]
+    else:
+        pad1 = (-shape[swap]) % nproc
     # "measure" times the candidates at the ACTUAL exchange-time local
     # shape: padded shard rows over P, other dims, padded swap extent last
     rest = [shape[i] for i in range(ndim) if i not in (shard_axis, swap)]

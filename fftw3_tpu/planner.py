@@ -65,35 +65,61 @@ GENERIC_MAX = 2048
 R2R_GENERIC_MAX = 4096
 
 
-def _c2c_cost(desc: Dict, hw: HardwareModel = HW) -> float:
-    """Estimated seconds per single 1-D transform (batch-amortized)."""
+#: Measured f64-emulation slowdowns on v5e (BASELINE.md ocf1024: 4.2
+#: GFLOPS vs ~1000 for the same plan family in f32): XLA decomposes every
+#: f64 matmul MAC into many f32 ops with no MXU mapping.
+_F64_MXU_PENALTY = 200.0
+_F64_VPU_PENALTY = 8.0
+
+
+def _c2c_cost(desc: Dict, hw: HardwareModel = HW, f64: bool = False) -> float:
+    """Estimated seconds per single 1-D transform (batch-amortized).
+
+    ``f64=True`` costs the plan for double-precision execution: doubled
+    element bytes and the emulation penalties above.  The ``df32``
+    double-float solver is immune to both (it computes in f32 on the VPU),
+    which is what makes it the f64 ESTIMATE winner (VERDICT r2 item 6).
+    """
     alg, n = desc["alg"], desc["n"]
-    el = 8.0  # complex64 bytes
+    el = 16.0 if f64 else 8.0  # complex bytes
+    mxu = hw.peak_flops / (_F64_MXU_PENALTY if f64 else 1.0)
+    vpu = hw.vpu_flops / (_F64_VPU_PENALTY if f64 else 1.0)
     if alg == "nop" or n == 1:
         return 0.0
+    if alg == "df32":
+        # double-float pipeline: per stage one elementwise HBM sweep of the
+        # four f32 planes plus the df butterfly/twiddle VPU chains (all f32
+        # regardless of the plan dtype — that is the point of the tier)
+        t = 0.0
+        for p in desc["radices"]:
+            per_pt = 260.0 if p in (2, 4) else 170.0 * p
+            t += 32.0 * n / hw.hbm_bw + per_pt * n / hw.vpu_flops
+        return t
     if alg == "direct":
         bytes_moved = 2 * el * n
         flops = 8.0 * n * n
-        return bytes_moved / hw.hbm_bw + flops / (hw.peak_flops *
+        return bytes_moved / hw.hbm_bw + flops / (mxu *
                                                   hw.matmul_eff(n))
     if alg == "mixed":
         p = desc["p"]
         # the XLA stage really pays ~2 HBM round trips (einsum in/out plus
         # the final axis swap); keep in sync with the C++ mirror
         stage = (4 * el * n / hw.hbm_bw
-                 + 8.0 * p * n / (hw.peak_flops * hw.matmul_eff(p))
-                 + 6.0 * n / hw.vpu_flops)
-        return stage + p * _c2c_cost(desc["child"], hw)
+                 + 8.0 * p * n / (mxu * hw.matmul_eff(p))
+                 + 6.0 * n / vpu)
+        return stage + p * _c2c_cost(desc["child"], hw, f64)
     if alg == "bluestein":
         m = desc["m"]
-        extra = 6.0 * el * m / hw.hbm_bw + 12.0 * m / hw.vpu_flops
-        return 2 * _c2c_cost(desc["child"], hw) + extra
+        extra = 6.0 * el * m / hw.hbm_bw + 12.0 * m / vpu
+        return 2 * _c2c_cost(desc["child"], hw, f64) + extra
     if alg == "rader":
         extra = hw.gather_penalty * 4 * el * n / hw.hbm_bw
-        return 2 * _c2c_cost(desc["child"], hw) + 6.0 * n / hw.vpu_flops + extra
+        return 2 * _c2c_cost(desc["child"], hw, f64) + 6.0 * n / vpu + extra
     if alg == "xla":
-        # modeled as a generic log-n pipeline; MEASURE decides its real worth
-        return 2 * el * n * max(1.0, math.log2(n)) / hw.hbm_bw
+        # modeled as a generic log-n pipeline; MEASURE decides its real
+        # worth.  Under f64 the pipeline's arithmetic is emulated too.
+        return (2 * el * n * max(1.0, math.log2(n)) / hw.hbm_bw
+                * (8.0 if f64 else 1.0))
     if alg == "pallas":
         # fused kernel: ONE HBM pass for the whole pipeline (measured at
         # ~1.25x the pure-copy floor), plus MXU time per stage
@@ -170,7 +196,9 @@ class Planner:
     def _key(self, kind: str, n: int, rdtype,
              batch: Optional[int] = None) -> str:
         dev = _device_signature()
-        return (f"{kind}:{n}:{np.dtype(rdtype).name}:{dev}"
+        re_tag = "" if config.random_estimator is None \
+            else f":re{config.random_estimator}"
+        return (re_tag + f"{kind}:{n}:{np.dtype(rdtype).name}:{dev}"
                 f":b{_batch_bucket(batch)}")
 
     # -- public entry points ----------------------------------------------
@@ -224,10 +252,12 @@ class Planner:
             raise WisdomOnlyMiss(
                 f"FFTW_WISDOM_ONLY: no wisdom for {kind} n={n}")
         self.stats["nplan"] += 1
-        if patience == K.PATIENCE_ESTIMATE and config.use_native:
+        f64 = np.dtype(rdtype) == np.float64
+        if patience == K.PATIENCE_ESTIMATE and config.use_native \
+                and config.random_estimator is None:
             desc = self._plan_native(kind, n, rdtype, patience)
             if desc is not None:
-                cost = self._cost(kind, desc)
+                cost = self._cost(kind, desc, f64)
                 self.stats["epcost"] = self.stats.get("epcost", 0.0) + cost
                 self.stats["pcost"] = self.stats.get("pcost", 0.0) + cost
                 self.wisdom[key] = {"desc": desc, "patience": patience,
@@ -239,8 +269,8 @@ class Planner:
         if not cands:
             raise ValueError(f"no applicable solver for {kind} n={n}")
         if patience == K.PATIENCE_ESTIMATE or len(cands) == 1:
-            best = min(cands, key=lambda d: self._cost(kind, d))
-            cost = self._cost(kind, best)
+            best = min(cands, key=lambda d: self._cost(kind, d, f64))
+            cost = self._cost(kind, best, f64)
             self.stats["epcost"] = self.stats.get("epcost", 0.0) + cost
         else:
             self._measure_t0 = time.perf_counter()
@@ -285,6 +315,10 @@ class Planner:
         except ImportError:
             return None
         if not native.available():
+            return None
+        if np.dtype(rdtype) == np.float64:
+            # the C++ tier mirrors the f32 ESTIMATE policy; f64 search is
+            # dtype-aware (df32 tier + emulation penalties) and Python-only
             return None
         allow = pallas_stockham.backend_allows(rdtype)
         if kind == "c2c":
@@ -395,6 +429,14 @@ class Planner:
         out: List[Dict] = []
         if n == 1:
             return [{"alg": "nop", "n": 1}]
+        if np.dtype(rdtype) == np.float64 and not config.strict_f64:
+            from .ops import df32
+            if df32.df32_applicable(n):
+                # compensated-f32 double-float tier (VERDICT r2 item 6):
+                # ~1e-13 rel err in pure-f32 VPU arithmetic, racing the
+                # emulated-f64 solvers below for complex128 plans
+                out.append({"alg": "df32", "n": n,
+                            "radices": df32.df32_radices(n)})
         if n <= DIRECT_MAX or (n <= GENERIC_MAX and
                                primes.largest_prime_factor(n) > 64):
             out.append({"alg": "direct", "n": n})
@@ -444,9 +486,19 @@ class Planner:
         return out
 
     # -- cost ----------------------------------------------------------------
-    def _cost(self, kind: str, desc: Dict) -> float:
+    def _cost(self, kind: str, desc: Dict, f64: bool = False) -> float:
+        if config.random_estimator is not None:
+            # FFTW_RANDOM_ESTIMATOR analog (fftw_api.c:15090-15104): a
+            # deterministic pseudo-random cost walks the off-winner plan
+            # space for the fuzzer.  Keyed by (seed, kind, desc) so one
+            # seed gives a consistent (memoizable) ranking.
+            import hashlib
+            h = hashlib.md5(f"{config.random_estimator}:{kind}:"
+                            f"{sprint_desc(desc)}".encode()).digest()
+            return 1e-6 * (1 + int.from_bytes(h[:8], 'big') / 2**64)
+        mxu = self.hw.peak_flops / (_F64_MXU_PENALTY if f64 else 1.0)
         if kind == "c2c":
-            return _c2c_cost(desc, self.hw)
+            return _c2c_cost(desc, self.hw, f64)
         if kind in ("r2c", "c2r"):
             if desc["alg"] in ("pallas_r2c", "pallas_c2r"):
                 n = desc["n"]
@@ -460,22 +512,22 @@ class Planner:
                 n = desc["n"]
                 return (12.0 * n / self.hw.hbm_bw
                         + 2.0 * n * (n // 2 + 1)
-                        / (self.hw.peak_flops * self.hw.matmul_eff(n)))
+                        / (mxu * self.hw.matmul_eff(n)))
             if desc["alg"] in ("r2c_pack", "c2r_pack"):
                 # half-size complex child + a separate untangle HBM pass
-                return 0.55 * _c2c_cost(desc["child"], self.hw) \
+                return 0.55 * _c2c_cost(desc["child"], self.hw, f64) \
                     + 16.0 * desc["n"] / self.hw.hbm_bw
-            return _c2c_cost(desc["child"], self.hw) \
+            return _c2c_cost(desc["child"], self.hw, f64) \
                 + 16.0 * desc["n"] / self.hw.hbm_bw
         # r2r
         if desc["alg"] == "r2r_matmul":
             n = desc["n"]
             return (8.0 * n / self.hw.hbm_bw
-                    + 2.0 * n * n / (self.hw.peak_flops * self.hw.matmul_eff(n)))
+                    + 2.0 * n * n / (mxu * self.hw.matmul_eff(n)))
         if desc["alg"] in ("redft00_split", "rodft00_split"):
             # two half-size r2r children + one recombination HBM pass
-            return (self._cost("r2r", desc["children"][0])
-                    + self._cost("r2r", desc["children"][1])
+            return (self._cost("r2r", desc["children"][0], f64)
+                    + self._cost("r2r", desc["children"][1], f64)
                     + 8.0 * desc["n"] / self.hw.hbm_bw)
         child_kind = {"dht_via_r2c": "r2c", "r2hc_via_r2c": "r2c",
                       "hc2r_via_c2r": "c2r", "redft10_half": "r2c",
@@ -484,9 +536,9 @@ class Planner:
                       "rodft10_flip": "r2r", "rodft01_flip": "r2r",
                       "rodft11_flip": "r2r", "redft11_odd": "r2r"}[desc["alg"]]
         if child_kind == "r2r":
-            return self._cost("r2r", desc["child"]) \
+            return self._cost("r2r", desc["child"], f64) \
                 + 8.0 * desc["n"] / self.hw.hbm_bw
-        return self._cost(child_kind, desc["child"]) \
+        return self._cost(child_kind, desc["child"], f64) \
             + 16.0 * desc["n"] / self.hw.hbm_bw
 
     # -- MEASURE mode ----------------------------------------------------
@@ -502,8 +554,9 @@ class Planner:
         A/B shows is 1.5-3x slower than the pallas4 candidate)."""
         from .utils import timing
 
+        f64 = np.dtype(rdtype) == np.float64
         # order by estimate so a timelimit still leaves a good plan
-        cands = sorted(cands, key=lambda d: self._cost(kind, d))
+        cands = sorted(cands, key=lambda d: self._cost(kind, d, f64))
         timer = timing.time_chained if kind == "c2c" \
             else timing.time_dispatched
         prepared = []                 # (desc, fn, args) that compile
@@ -543,8 +596,8 @@ class Planner:
                     continue
                 times[i] = min(t, times.get(i, float("inf")))
         if not times:  # all candidates failed to compile: fall back
-            best = min(cands, key=lambda d: self._cost(kind, d))
-            return best, self._cost(kind, best)
+            best = min(cands, key=lambda d: self._cost(kind, d, f64))
+            return best, self._cost(kind, best, f64)
         besti = min(times, key=times.get)
         # hysteresis: a measured winner must beat the ESTIMATE choice by
         # the configured margin to override it.  The margin is a config
@@ -601,7 +654,7 @@ def validate_desc(kind: str, n: int, desc) -> bool:
             p = desc.get("p")
             return (isinstance(p, int) and 1 < p < n and n % p == 0
                     and validate_desc("c2c", n // p, desc.get("child")))
-        if alg == "pallas":
+        if alg in ("pallas", "df32"):
             rad = desc.get("radices")
             return (isinstance(rad, list) and
                     math.prod(rad) == n and

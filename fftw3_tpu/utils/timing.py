@@ -90,6 +90,39 @@ def time_chained(fn: Callable, args: Sequence, k1: int = 8, k2: int = 40,
     return max(est, 1e-12)
 
 
+def time_chained_multi(configs, k1: int = 8, k2: int = 40,
+                       reps: int = 5):
+    """Marginal chained time per call for SEVERAL (fn, args) configs,
+    interleaved: every rep times the short and long chain of every config
+    before the next rep starts, so slow chip-state drift (minutes-scale
+    2-3x swings, measured through the tunnel) lands on all configs alike
+    and cancels in the per-config median of paired differences.  This is
+    the decision-grade form of a same-session A/B/A sandwich for more than
+    two arms.  Returns a list of seconds-per-call aligned with configs."""
+    chains = []
+    for fn, args in configs:
+        args = tuple(jax.device_put(a) if isinstance(a, np.ndarray) else a
+                     for a in args)
+        out = fn(*args)
+        sync(out)
+
+        def chain(k, fn=fn, out=out):
+            cur = out
+            t0 = time.perf_counter()
+            for _ in range(k):
+                cur = fn(*cur)
+            sync(cur)
+            return time.perf_counter() - t0
+        chains.append(chain)
+    samples = [[] for _ in chains]
+    for _ in range(reps):
+        for i, chain in enumerate(chains):
+            t1 = chain(k1)
+            t2 = chain(k2)
+            samples[i].append((t2 - t1) / (k2 - k1))
+    return [statistics.median(s) for s in samples]
+
+
 def time_dispatched(fn: Callable, args: Sequence, k1: int = 8, k2: int = 40,
                     reps: int = 5) -> float:
     """Like :func:`time_chained` for fns whose output cannot feed the input:

@@ -308,3 +308,20 @@ def test_overlap_chunks_keep_independent_collectives(rng):
     # collectives instead of being re-fused into one barrier
     assert all("[2,3,32]" in shp for _, shp in d4), d4
     assert all("[2,12,32]" in shp for _, shp in d1), d1
+
+
+def test_explicit_block1(rng):
+    """Explicit output-block (block1) decomposition granularity
+    (fftw_mpi local_size_many_transposed block1, mpi/api.c:248-510):
+    oversized blocks pad the exchange but never the logical result."""
+    mesh = make_mesh(4)
+    s = (16, 10, 8)                 # swap axis 10: default block 3
+    x = (rng.standard_normal(s) + 1j * rng.standard_normal(s))
+    for tout in (False, True):
+        plan = plan_dft_dist(s, mesh, dtype="complex128", block1=4,
+                             transposed_out=tout)
+        y = plan(sharded(x, mesh, plan.in_spec))
+        assert relerr(y, np.fft.fftn(x)) < 1e-10, f"tout={tout}"
+        assert y.shape == s
+    with pytest.raises(ValueError, match="block1"):
+        plan_dft_dist(s, mesh, dtype="complex128", block1=2)

@@ -60,8 +60,8 @@ def test_measure_flips_rigged_estimate(monkeypatch, hysteresis):
     pl = Planner()
     real_cost = Planner._cost
 
-    def rigged(self, kind, desc):
-        c = real_cost(self, kind, desc)
+    def rigged(self, kind, desc, f64=False):
+        c = real_cost(self, kind, desc, f64)
         # rig: make every mixed split look like the best plan for n=64
         return c * 1e-6 if desc.get("alg") == "mixed" else c
     monkeypatch.setattr(Planner, "_cost", rigged)
@@ -187,3 +187,30 @@ def test_estimate_requests_ignore_budget(monkeypatch, interpret_pallas):
     nplan = pl.stats["nplan"]
     pl.plan_c2c(64, np.float32, K.PATIENCE_ESTIMATE)
     assert pl.stats["nplan"] == nplan      # wisdom hit
+
+
+def test_random_estimator_walks_plan_space(interpret_pallas):
+    """FFTW_RANDOM_ESTIMATOR analog (fftw/fftw_api.c:15090-15104): with a
+    seeded pseudo-random cost oracle the planner must (a) still produce
+    valid plans and (b) reach solver choices the calibrated estimator
+    never picks, and wisdom entries must be keyed per seed."""
+    import numpy as np
+    from fftw3_tpu.planner import validate_desc
+    old = config.random_estimator
+    try:
+        algs = set()
+        pl = Planner()
+        for seed in range(10):
+            config.random_estimator = seed
+            d = pl.plan_c2c(64, np.float32, K.PATIENCE_ESTIMATE)
+            assert validate_desc("c2c", 64, d)
+            algs.add((d["alg"], d.get("p")))
+        assert len(algs) >= 2, f"estimator randomization inert: {algs}"
+        # seeded entries must not pollute the real wisdom key space
+        config.random_estimator = None
+        d_real = pl.plan_c2c(64, np.float32, K.PATIENCE_ESTIMATE)
+        key = pl._key("c2c", 64, np.float32, None)
+        assert not key.startswith(":re")
+        assert pl.wisdom[key]["desc"] == d_real
+    finally:
+        config.random_estimator = old
