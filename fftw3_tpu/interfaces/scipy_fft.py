@@ -47,68 +47,72 @@ def _shape_vec(x, axis, vals):
     return jnp.asarray(vals, x.dtype).reshape(shp)
 
 
-def dct(x, type: int = 2, n=None, axis: int = -1, norm=None):
-    x = jnp.asarray(x, jnp.float32 if x is not None and
-                    jnp.asarray(x).dtype != jnp.float64 else jnp.float64)
-    if n is not None:
-        x = _api._fit_length(x, n, axis)
-    N = _axis_n(x, axis)
+def _norm_scale(norm, den: float) -> float:
     if norm in (None, "backward"):
-        return _api.dct(x, type, axis, None)
+        return 1.0
     if norm == "forward":
-        return _api.dct(x, type, axis, None) / _forward_den(type, N, True)
-    if norm != "ortho":
-        raise ValueError(f"bad norm {norm!r}")
-    # ortho factors (scipy's orthonormalized DCTs)
-    if type == 1:
-        if N < 2:
-            raise ValueError("DCT-I needs n >= 2")
-        pre = np.ones(N)
-        pre[0] = pre[-1] = np.sqrt(2.0)
-        post = np.full(N, 1.0 / np.sqrt(2.0 * (N - 1)))
-        post[0] = post[-1] = post[0] / np.sqrt(2.0)
-        y = _api.dct(x * _shape_vec(x, axis, pre), 1, axis, None)
-        return y * _shape_vec(y, axis, post)
-    if type == 2:
-        post = np.full(N, np.sqrt(1.0 / (2.0 * N)))
-        post[0] = np.sqrt(1.0 / (4.0 * N))
-        y = _api.dct(x, 2, axis, None)
-        return y * _shape_vec(y, axis, post)
-    if type == 3:
-        pre = np.full(N, 1.0 / np.sqrt(2.0 * N))
-        pre[0] = 1.0 / np.sqrt(N)
-        return _api.dct(x * _shape_vec(x, axis, pre), 3, axis, None)
-    if type == 4:
-        return _api.dct(x, 4, axis, None) / np.sqrt(2.0 * N)
-    raise ValueError(f"bad DCT type {type}")
+        return 1.0 / den
+    if norm == "ortho":
+        return 1.0 / np.sqrt(den)
+    raise ValueError(f"bad norm {norm!r}")
 
 
-def dst(x, type: int = 2, n=None, axis: int = -1, norm=None):
+def _trig_transform(api_fn, x, type, n, axis, norm, orthogonalize,
+                    is_dct: bool):
+    """Shared scipy dct/dst semantics: ``orthogonalize`` (defaulting to
+    True under norm='ortho', scipy >= 1.8) rescales the boundary input /
+    output elements by sqrt(2) factors independent of the uniform norm
+    scaling — exactly how scipy layers it over pocketfft."""
     x = jnp.asarray(x, jnp.float32 if jnp.asarray(x).dtype != jnp.float64
                     else jnp.float64)
     if n is not None:
         x = _api._fit_length(x, n, axis)
     N = _axis_n(x, axis)
-    if norm in (None, "backward"):
-        return _api.dst(x, type, axis, None)
-    if norm == "forward":
-        return _api.dst(x, type, axis, None) / _forward_den(type, N, False)
-    if norm != "ortho":
-        raise ValueError(f"bad norm {norm!r}")
-    if type == 1:
-        return _api.dst(x, 1, axis, None) / np.sqrt(2.0 * (N + 1))
-    if type == 2:
-        post = np.full(N, np.sqrt(1.0 / (2.0 * N)))
-        post[-1] = np.sqrt(1.0 / (4.0 * N))
-        y = _api.dst(x, 2, axis, None)
-        return y * _shape_vec(y, axis, post)
-    if type == 3:
-        pre = np.full(N, 1.0 / np.sqrt(2.0 * N))
-        pre[-1] = 1.0 / np.sqrt(N)
-        return _api.dst(x * _shape_vec(x, axis, pre), 3, axis, None)
-    if type == 4:
-        return _api.dst(x, 4, axis, None) / np.sqrt(2.0 * N)
-    raise ValueError(f"bad DST type {type}")
+    if type not in (1, 2, 3, 4):
+        raise ValueError(f"bad {'DCT' if is_dct else 'DST'} type {type}")
+    if is_dct and type == 1 and N < 2:
+        raise ValueError("DCT-I needs n >= 2")
+    ortho = (norm == "ortho") if orthogonalize is None \
+        else bool(orthogonalize)
+    pre = np.ones(N)
+    post = np.ones(N)
+    if ortho:
+        rt2 = np.sqrt(2.0)
+        if is_dct:
+            if type == 1:
+                pre[0] = pre[-1] = rt2
+                post[0] = post[-1] = 1.0 / rt2
+            elif type == 2:
+                post[0] = 1.0 / rt2
+            elif type == 3:
+                pre[0] = rt2
+        else:
+            if type == 2:
+                post[-1] = 1.0 / rt2
+            elif type == 3:
+                pre[-1] = rt2
+    scale = _norm_scale(norm, _forward_den(type, N, is_dct))
+    if not np.all(pre == 1.0):
+        x = x * _shape_vec(x, axis, pre)
+    y = api_fn(x, type, axis, None)
+    post = post * scale
+    if not np.all(post == 1.0):
+        y = y * _shape_vec(y, axis, post)
+    return y
+
+
+def dct(x, type: int = 2, n=None, axis: int = -1, norm=None,
+        overwrite_x: bool = False, workers=None, orthogonalize=None):
+    del overwrite_x, workers            # XLA owns memory and scheduling
+    return _trig_transform(_api.dct, x, type, n, axis, norm,
+                           orthogonalize, is_dct=True)
+
+
+def dst(x, type: int = 2, n=None, axis: int = -1, norm=None,
+        overwrite_x: bool = False, workers=None, orthogonalize=None):
+    del overwrite_x, workers
+    return _trig_transform(_api.dst, x, type, n, axis, norm,
+                           orthogonalize, is_dct=False)
 
 
 def _forward_den(type_: int, N: int, is_dct: bool) -> float:
@@ -121,46 +125,60 @@ def _forward_den(type_: int, N: int, is_dct: bool) -> float:
 _INV_TYPE = {1: 1, 2: 3, 3: 2, 4: 4}
 
 
-def idct(x, type: int = 2, n=None, axis: int = -1, norm=None):
+def idct(x, type: int = 2, n=None, axis: int = -1, norm=None,
+         overwrite_x: bool = False, workers=None, orthogonalize=None):
+    del overwrite_x, workers
     it = _INV_TYPE[type]
     N = _axis_n(jnp.asarray(x), axis) if n is None else n
     if norm == "ortho":
-        return dct(x, it, n, axis, "ortho")
+        return dct(x, it, n, axis, "ortho", orthogonalize=orthogonalize)
     if norm == "forward":
-        return dct(x, it, n, axis, None)           # forward fwd -> bare inv
-    return dct(x, it, n, axis, None) / _forward_den(it, N, True)
+        return dct(x, it, n, axis, None, orthogonalize=orthogonalize)
+    return dct(x, it, n, axis, None, orthogonalize=orthogonalize) \
+        / _forward_den(it, N, True)
 
 
-def idst(x, type: int = 2, n=None, axis: int = -1, norm=None):
+def idst(x, type: int = 2, n=None, axis: int = -1, norm=None,
+         overwrite_x: bool = False, workers=None, orthogonalize=None):
+    del overwrite_x, workers
     it = _INV_TYPE[type]
     N = _axis_n(jnp.asarray(x), axis) if n is None else n
     if norm == "ortho":
-        return dst(x, it, n, axis, "ortho")
+        return dst(x, it, n, axis, "ortho", orthogonalize=orthogonalize)
     if norm == "forward":
-        return dst(x, it, n, axis, None)
-    return dst(x, it, n, axis, None) / _forward_den(it, N, False)
+        return dst(x, it, n, axis, None, orthogonalize=orthogonalize)
+    return dst(x, it, n, axis, None, orthogonalize=orthogonalize) \
+        / _forward_den(it, N, False)
 
 
-def _nd(fn1, x, type, axes, norm):
+def _nd(fn1, x, type, axes, norm, orthogonalize=None):
     x = jnp.asarray(x)
     axes = tuple(range(x.ndim)) if axes is None else \
         tuple(a % x.ndim for a in axes)
     for a in axes:
-        x = fn1(x, type, None, a, norm)
+        x = fn1(x, type, None, a, norm, orthogonalize=orthogonalize)
     return x
 
 
-def dctn(x, type: int = 2, axes=None, norm=None):
-    return _nd(dct, x, type, axes, norm)
+def dctn(x, type: int = 2, axes=None, norm=None, overwrite_x: bool = False,
+         workers=None, orthogonalize=None):
+    del overwrite_x, workers
+    return _nd(dct, x, type, axes, norm, orthogonalize)
 
 
-def idctn(x, type: int = 2, axes=None, norm=None):
-    return _nd(idct, x, type, axes, norm)
+def idctn(x, type: int = 2, axes=None, norm=None, overwrite_x: bool = False,
+          workers=None, orthogonalize=None):
+    del overwrite_x, workers
+    return _nd(idct, x, type, axes, norm, orthogonalize)
 
 
-def dstn(x, type: int = 2, axes=None, norm=None):
-    return _nd(dst, x, type, axes, norm)
+def dstn(x, type: int = 2, axes=None, norm=None, overwrite_x: bool = False,
+         workers=None, orthogonalize=None):
+    del overwrite_x, workers
+    return _nd(dst, x, type, axes, norm, orthogonalize)
 
 
-def idstn(x, type: int = 2, axes=None, norm=None):
-    return _nd(idst, x, type, axes, norm)
+def idstn(x, type: int = 2, axes=None, norm=None, overwrite_x: bool = False,
+          workers=None, orthogonalize=None):
+    del overwrite_x, workers
+    return _nd(idst, x, type, axes, norm, orthogonalize)

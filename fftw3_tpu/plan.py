@@ -286,6 +286,32 @@ def _make_plan_inner(problem: Problem, flags: int,
                                   last - nd))
         out = list(shape)
         out[last] = n_last // 2 + 1
+        # DC/Nyquist column pack (TPU lane alignment): after the last-axis
+        # r2c of even n the trailing extent is n/2+1 — an ODD lane count
+        # that costs a whole extra (mostly-masked) lane block in every
+        # non-last Pallas pass (2048^2 r2c: 9 blocks where 8 suffice;
+        # 256^3: 2 where 1 does).  Columns 0 and n/2 are REAL there, so
+        # the classic two-real-FFTs pack (col0 + i*colN/2) carries both
+        # through every remaining c2c pass in ONE column, restoring an
+        # exact 128-multiple, and one conj-flip untangle at the end
+        # recovers the two spectra.  Role matched (not mechanism):
+        # rdft2 buffered/ct handling of the (r0, rn/2) pair,
+        # /root/reference/fftw/fftw_api.c:5552-6190.
+        pack = (n_last % 2 == 0 and n_last >= 4 and len(axes) > 1
+                and last == nd - 1)
+        if pack:
+            half = n_last // 2
+            pshape = list(shape)
+            pshape[last] = half
+
+            def pack_stage(x, _h=half):
+                z0 = (jnp.real(x[..., :1])
+                      + 1j * jnp.real(x[..., _h:_h + 1]))
+                return jnp.concatenate([z0, x[..., 1:_h]], axis=-1)
+            stages.append(pack_stage)
+            pass_shape = tuple(pshape)
+        else:
+            pass_shape = tuple(out)
         # non-last axes run on the HALVED complex array: use the
         # transpose-free axis stage (the axis-(-2) kernel when the
         # trailing layout allows) via a split-complex lift
@@ -293,7 +319,25 @@ def _make_plan_inner(problem: Problem, flags: int,
             d = pl.plan_c2c(shape[a], rdtype, patience, batch=_vec(a))
             descriptors[a] = d
             stages.append(_complex_of_split(
-                _c2c_stage(d, K.FORWARD, rdtype, a, tuple(out))))
+                _c2c_stage(d, K.FORWARD, rdtype, a, pass_shape)))
+        if pack:
+            neg_axes = tuple(a - nd for a in axes[:-1])
+
+            def unpack_stage(y, _na=neg_axes):
+                z = y[..., 0]
+                zn = z
+                for a in _na:
+                    # index negation k -> (-k) mod n along each
+                    # transformed non-last axis: flip + roll(1).  z has
+                    # the trailing lane dim sliced away, so the
+                    # right-relative axis shifts by one.
+                    zn = jnp.roll(jnp.flip(zn, axis=a + 1), 1, axis=a + 1)
+                zc = jnp.conj(zn)
+                A = 0.5 * (z + zc)
+                B = -0.5j * (z - zc)
+                return jnp.concatenate(
+                    [A[..., None], y[..., 1:], B[..., None]], axis=-1)
+            stages.append(unpack_stage)
         out_shape, out_dtype = tuple(out), ctype
 
     elif problem.kind == "c2r":
@@ -303,11 +347,39 @@ def _make_plan_inner(problem: Problem, flags: int,
         nd = len(shape)
         ins = list(shape)
         ins[last] = n_last // 2 + 1
+        # inverse of the r2c DC/Nyquist pack (see the r2c branch): columns
+        # 0 and n/2 of a valid halfcomplex input are conjugate-symmetric
+        # along every non-last axis, so their inverse transforms are real
+        # — pack them as one complex column before the backward passes
+        # (even lane count for the Pallas tiles), split Re/Im after.
+        pack = (n_last % 2 == 0 and n_last >= 4 and len(axes) > 1
+                and last == nd - 1)
+        if pack:
+            half = n_last // 2
+            pins = list(shape)
+            pins[last] = half
+
+            def pack_stage(x, _h=half):
+                z0 = x[..., :1] + 1j * x[..., _h:_h + 1]
+                return jnp.concatenate([z0, x[..., 1:_h]], axis=-1)
+            stages.append(pack_stage)
+            pass_shape = tuple(pins)
+        else:
+            pass_shape = tuple(ins)
         for a in axes[:-1]:
             d = pl.plan_c2c(shape[a], rdtype, patience, batch=_vec(a))
             descriptors[a] = d
             stages.append(_complex_of_split(
-                _c2c_stage(d, K.BACKWARD, rdtype, a, tuple(ins))))
+                _c2c_stage(d, K.BACKWARD, rdtype, a, pass_shape)))
+        if pack:
+            def unpack_stage(y):
+                z = y[..., 0]
+                a = jnp.real(z)
+                b = jnp.imag(z)
+                return jnp.concatenate(
+                    [a[..., None].astype(y.dtype), y[..., 1:],
+                     b[..., None].astype(y.dtype)], axis=-1)
+            stages.append(unpack_stage)
         desc = pl.plan_c2r(n_last, rdtype, patience, batch=_vec(last))
         descriptors[last] = desc
         stages.append(_along_axis(real_ops.build_c2r(desc, rdtype),
