@@ -18,6 +18,13 @@ reduces to R2HC (reference ``fftw/fftw_api.c:11705-14160``):
   sign-flip/reversal identities (same trick FFTW's RO* apply functions use).
 * ``dht_via_r2c`` — DHT = Re - Im of the real DFT (dht-r2hc analog,
   fftw_api.c:6800-7114).
+* ``dht_rader`` — prime-n DHT via Rader's generator permutation reducing
+  to a REAL cyclic convolution of length n-1 (dht-rader analog,
+  fftw_api.c:10398-10566).  Unlike the via-r2c route, whose prime-n child
+  ends in a *complex* Rader/Bluestein convolution, the convolution here
+  stays real end-to-end (r2c -> halfcomplex pointwise -> c2r), roughly
+  halving the convolution work.  The cas kernel's DFT is precomputed on
+  the host in f64 with exact integer exponents.
 * ``r2hc_via_r2c`` / ``hc2r_via_c2r`` — halfcomplex packing of the real DFT.
 * ``r2r_matmul`` — dense-matrix fallback for any kind/size; on TPU an (n,n)
   matmul is MXU-native and genuinely competitive at small n (the planner
@@ -31,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config
+from ..utils import primes
 from . import c2c as c2c_ops
 from . import matrices
 from . import real as real_ops
@@ -128,6 +136,28 @@ def build_r2r(desc: Dict, rdtype) -> Apply:
             tail = (jnp.real(mid) + jnp.imag(mid))[..., ::-1]    # k > n//2
             return jnp.concatenate([head, tail], axis=-1)
         return apply_dht
+
+    if alg == "dht_rader":
+        p = n
+        g = primes.find_generator(p)
+        ginv = pow(g, p - 2, p)
+        perm_a = np.array([pow(g, t, p) for t in range(p - 1)], np.int32)
+        idx_out = np.array([pow(ginv, t, p) for t in range(p - 1)], np.int32)
+        # cas kernel h[m] = cas(2*pi*g^{-m}/p): H[g^{-t}] - x[0] =
+        # (x[g^.] * h)[t], a real length-(p-1) cyclic convolution.
+        e = np.array([pow(ginv, m, p) for m in range(p - 1)], np.int64)
+        t = 2.0 * np.pi * e / p
+        K = np.fft.rfft(np.cos(t) + np.sin(t)) / (p - 1)  # fold 1/(p-1)
+        Kc = np.ascontiguousarray(K, dtype=ctype)
+        fwd = real_ops.build_r2c(desc["children"][0], rdtype)
+        bwd = real_ops.build_c2r(desc["children"][1], rdtype)
+
+        def apply_dht_rader(x):
+            conv = bwd(fwd(x[..., perm_a]) * Kc)
+            out = jnp.empty_like(x)
+            out = out.at[..., idx_out].set(x[..., 0:1] + conv)
+            return out.at[..., 0].set(jnp.sum(x, axis=-1))
+        return apply_dht_rader
 
     if alg == "r2hc_via_r2c":
         child = real_ops.build_r2c(desc["child"], rdtype)
@@ -298,6 +328,13 @@ def r2r_opcount(desc: Dict) -> Dict[str, float]:
         b = r2r_opcount(desc["children"][1])
         return {"add": a["add"] + b["add"] + 2.0 * n,
                 "mul": a["mul"] + b["mul"], "fma": a["fma"] + b["fma"]}
+    if alg == "dht_rader":
+        a = real_ops.r2c_opcount(desc["children"][0])
+        b = real_ops.c2r_opcount(desc["children"][1])
+        ptwise = 6.0 * ((n - 1) // 2 + 1)      # halfcomplex pointwise mul
+        return {"add": a["add"] + b["add"] + 2.0 * n,
+                "mul": a["mul"] + b["mul"] + ptwise,
+                "fma": a["fma"] + b["fma"]}
     child_key = "child"
     if alg in ("rodft10_flip", "rodft01_flip", "rodft11_flip",
                "redft11_odd"):

@@ -366,6 +366,13 @@ class Planner:
         if kind == "dht":
             out.append({"alg": "dht_via_r2c", "n": n,
                         "child": self.plan_r2c(n, rdtype, patience, batch)})
+            if n >= 5 and primes.is_prime(n):
+                # dht-rader analog (fftw/fftw_api.c:10398-10566): the
+                # length-(n-1) convolution stays REAL, racing the via-r2c
+                # route whose prime child pays a complex Rader/Bluestein
+                out.append({"alg": "dht_rader", "n": n, "children": [
+                    self.plan_r2c(n - 1, rdtype, patience, batch),
+                    self.plan_c2r(n - 1, rdtype, patience, batch)]})
         elif kind == "r2hc":
             out.append({"alg": "r2hc_via_r2c", "n": n,
                         "child": self.plan_r2c(n, rdtype, patience, batch)})
@@ -529,6 +536,11 @@ class Planner:
             return (self._cost("r2r", desc["children"][0], f64)
                     + self._cost("r2r", desc["children"][1], f64)
                     + 8.0 * desc["n"] / self.hw.hbm_bw)
+        if desc["alg"] == "dht_rader":
+            # real convolution children + permute/pointwise HBM passes
+            return (self._cost("r2c", desc["children"][0], f64)
+                    + self._cost("c2r", desc["children"][1], f64)
+                    + 16.0 * desc["n"] / self.hw.hbm_bw)
         child_kind = {"dht_via_r2c": "r2c", "r2hc_via_r2c": "r2c",
                       "hc2r_via_c2r": "c2r", "redft10_half": "r2c",
                       "redft01_half": "c2r", "redft00_ext": "r2c",
@@ -696,6 +708,11 @@ def validate_desc(kind: str, n: int, desc) -> bool:
             sizes = ((n - 1) // 2, (n + 1) // 2)
         return (validate_desc("r2r", sizes[0], ch[0])
                 and validate_desc("r2r", sizes[1], ch[1]))
+    if alg == "dht_rader":
+        ch = desc.get("children")
+        return (primes.is_prime(n) and isinstance(ch, list) and len(ch) == 2
+                and validate_desc("r2c", n - 1, ch[0])
+                and validate_desc("c2r", n - 1, ch[1]))
     child_kind = {"dht_via_r2c": ("r2c", n), "r2hc_via_r2c": ("r2c", n),
                   "hc2r_via_c2r": ("c2r", n), "redft10_half": ("r2c", n),
                   "redft01_half": ("c2r", n),
