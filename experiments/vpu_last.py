@@ -1,0 +1,74 @@
+"""A/B the VPU final-stage path (config.pallas_vpu_last) against prod.
+
+The round-3 ablation (BASELINE.md) decomposed the n=1024 kernel's
+~40 ps/pt of compute into the bf16 hi/lo precision machinery (~39) vs
+~1 for twiddle/permute.  The final stage's radix is small (2p < 128
+underfills the MXU rows) and its matmul carries the same hi/lo cast +
+cross-pass tax — this variant replaces it with pure-f32 VPU radix-4/2
+butterflies (~20 flops/pt, no casts, no bf16 relayouts).
+
+Protocol: same-session interleaved marginal slopes (time_chained_multi
+at two batch sizes per variant, A/B/A order) — the only decision-grade
+comparison on the tunnel (CLAUDE.md measurement discipline).
+
+Usage: python experiments/vpu_last.py [n ...]
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fftw3_tpu import config
+    from fftw3_tpu.ops import pallas_stockham as ps
+    from fftw3_tpu.utils import timing
+
+    ns = [int(a) for a in sys.argv[1:]] or [1024, 2048]
+    rng = np.random.default_rng(0)
+    interp = jax.default_backend() != "tpu"
+
+    for n in ns:
+        rad = ps.choose_radices(n)
+        desc = {"alg": "pallas", "n": n, "radices": rad, "tile_b": 128}
+        fns = {}
+        for tag, flag in [("prod", False), ("vpu", True), ("prod2", False)]:
+            config.pallas_vpu_last = flag
+            fns[tag] = jax.jit(ps.build_pallas_c2c_split(
+                dict(desc), -1, np.float32))
+        config.pallas_vpu_last = False
+
+        # verify both on chip first
+        vr = rng.standard_normal((256, n)).astype(np.float32)
+        vi = rng.standard_normal((256, n)).astype(np.float32)
+        ref = np.fft.fft((vr + 1j * vi).astype(np.complex128), axis=1)
+        for tag in ("prod", "vpu"):
+            yr, yi = fns[tag](vr, vi)
+            err = np.max(np.abs(np.asarray(yr) + 1j * np.asarray(yi) - ref)
+                         ) / np.max(np.abs(ref))
+            print(f"n={n} {tag}: relerr={err:.1e}", flush=True)
+            assert err < 1e-3, (tag, err)
+        if interp:
+            continue
+
+        b_lo, b_hi = 8192, 24576
+        configs = []
+        for tag in ("prod", "vpu", "prod2"):
+            for b in (b_lo, b_hi):
+                xr = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
+                xi = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
+                configs.append((fns[tag], (xr, xi)))
+        ts = timing.time_chained_multi(configs, k1=4, k2=16, reps=9)
+        for i, tag in enumerate(("prod", "vpu", "prod2")):
+            s = (ts[2 * i + 1] - ts[2 * i]) / ((b_hi - b_lo) * n) * 1e12
+            gf = 5.0 * np.log2(n) / (s * 1e-12) / 1e9
+            print(f"n={n} {tag}: {s:.1f} ps/pt ({gf:.0f} GFLOPS slope)",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

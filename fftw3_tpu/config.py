@@ -27,6 +27,16 @@ pallas_mode: str = "auto"
 #: rel err ~1e-7, slower)
 pallas_matmul: str = "bf16x3"
 
+#: Run the LAST Stockham stage of the fused Pallas kernels as pure-f32
+#: VPU butterflies (radix-4/2 adds + a handful of twiddle cmuls) instead
+#: of the bf16 hi/lo MXU matmul.  The round-3 ablation (BASELINE.md)
+#: showed the stage cost is the precision machinery (hi/lo casts + the
+#: K=4p cross pass, ~2/3 of kernel compute at n=1024), which VPU
+#: butterflies need none of; a small radix also underfills the MXU rows
+#: (2p < 128).  Applies when the final radix is a power of two <= 32.
+#: Default off until the on-chip A/B lands (flip per measurement).
+pallas_vpu_last: bool = False
+
 #: Route plan-time host work (ESTIMATE search, hashing, wisdom) through the
 #: native C++ tier when the shared library is available (fftw3_tpu/native.py)
 use_native: bool = True

@@ -279,7 +279,86 @@ def _gmm(G, X, k2=True):
     return d(Gh, Xh) + (d(Gh, Xl) + d(Gl, Xh))
 
 
-def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0):
+def _vpu_dft(xr, xi, m, sign):
+    """Pure-f32 VPU DFT over axis 0 of an (m, R) split-complex pair,
+    natural output order.  Recursive radix-4 (radix-2 tail) DIT: the
+    butterflies touch only +-1/+-i coefficients (adds and plane swaps);
+    the level twiddles are tiny (q, 1) host constants inlined as Mosaic
+    literals.  No bf16 precision machinery — this is the codelet role
+    (reference ``fftw/dft_scalar/codelets/n1_16.c``) done as VPU
+    elementwise chains instead of an MXU contraction, for the small final
+    radix where 2p < 128 underfills the systolic rows anyway."""
+    if m == 1:
+        return xr, xi
+    r = 4 if m % 4 == 0 else 2
+    q = m // r
+    R = xr.shape[-1]
+    xr3 = xr.reshape(r, q, R)      # x[j1*q + j2] at [j1, j2]
+    xi3 = xi.reshape(r, q, R)
+    if r == 2:
+        br = [xr3[0] + xr3[1], xr3[0] - xr3[1]]
+        bi = [xi3[0] + xi3[1], xi3[0] - xi3[1]]
+    else:
+        t0r, t0i = xr3[0] + xr3[2], xi3[0] + xi3[2]
+        t1r, t1i = xr3[0] - xr3[2], xi3[0] - xi3[2]
+        t2r, t2i = xr3[1] + xr3[3], xi3[1] + xi3[3]
+        t3r, t3i = xr3[1] - xr3[3], xi3[1] - xi3[3]
+        if sign < 0:               # omega_4 = -i: t3 * -i = (t3i, -t3r)
+            u3r, u3i = t3i, -t3r
+        else:                      # omega_4 = +i
+            u3r, u3i = -t3i, t3r
+        br = [t0r + t2r, t1r + u3r, t0r - t2r, t1r - u3r]
+        bi = [t0i + t2i, t1i + u3i, t0i - t2i, t1i - u3i]
+    if q > 1:
+        # level twiddle w = omega_m^{j2*k1}, applied as SCALAR row cmuls
+        # (Pallas kernels cannot capture array constants); most rows snap
+        # to +-1/+-i and cost a negation/swap at most
+        for k1 in range(1, r):
+            rr, ri = [], []
+            for j2 in range(q):
+                w = np.exp(sign * 2j * np.pi * ((j2 * k1) % m) / m)
+                for exact in (1, -1, 1j, -1j):
+                    if abs(w - exact) < 1e-12:
+                        w = exact
+                        break
+                xr_j = br[k1][j2:j2 + 1]
+                xi_j = bi[k1][j2:j2 + 1]
+                if w == 1:
+                    rr.append(xr_j)
+                    ri.append(xi_j)
+                elif w == -1:
+                    rr.append(-xr_j)
+                    ri.append(-xi_j)
+                elif w == 1j:
+                    rr.append(-xi_j)
+                    ri.append(xr_j)
+                elif w == -1j:
+                    rr.append(xi_j)
+                    ri.append(-xr_j)
+                else:
+                    wr = np.float32(w.real)
+                    wi = np.float32(w.imag)
+                    rr.append(xr_j * wr - xi_j * wi)
+                    ri.append(xr_j * wi + xi_j * wr)
+            br[k1] = jnp.concatenate(rr, axis=0)
+            bi[k1] = jnp.concatenate(ri, axis=0)
+    zs = [_vpu_dft(br[k1], bi[k1], q, sign) for k1 in range(r)]
+    # X[k1 + r*k2] at child k1, row k2 -> stack k1 minor under k2
+    yr = jnp.stack([z[0] for z in zs], axis=1).reshape(m, R)
+    yi = jnp.stack([z[1] for z in zs], axis=1).reshape(m, R)
+    return yr, yi
+
+
+def _vpu_last_ok(p: int, sign: int) -> bool:
+    """Gate for the VPU final-stage path.  ``sign`` here is the
+    build-time snapshot the kernel builders take of
+    ``config.pallas_vpu_last`` (0 when the flag was off at plan build —
+    the flag must NOT be read at trace time, or a plan built under one
+    setting would silently retrace under another)."""
+    return sign != 0 and p <= 32 and (p & (p - 1)) == 0
+
+
+def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0, sign=0):
     """Shared Stockham stage loop on (n, TB) values (transform index in
     major/sublane dims, TB lanes).  ``tw_lanes == tb`` selects the flat
     first-stage twiddle (see FLAT_TW_MAX_BYTES).
@@ -299,6 +378,17 @@ def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0):
         else jnp.concatenate([ar[None], ai[None]], 0)  # (2, n, TB)
     for si, p in enumerate(radices):
         q = rest // p
+        if q == 1 and st.shape[0] == 2 and _vpu_last_ok(p, sign):
+            # final stage as pure-f32 VPU butterflies (no G matmul, no
+            # hi/lo casts); crefs hold the unused G — skip it
+            ci += 1
+            yr, yi = _vpu_dft(st[0].reshape(p, done * tb),
+                              st[1].reshape(p, done * tb), p, sign)
+            st = jnp.concatenate([yr.reshape(1, p * done, tb),
+                                  yi.reshape(1, p * done, tb)], 0)
+            done *= p
+            rest = q
+            continue
         G = crefs[ci][...]
         ci += 1
         # contraction over (c, j1): the (2, p, ...) major pair merges to
@@ -346,7 +436,7 @@ def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0):
     return st[0], st[1]
 
 
-def _kernel(radices, n, tb, pretwiddle, tw_lanes, store_kp, *refs):
+def _kernel(radices, n, tb, pretwiddle, tw_lanes, store_kp, sign, *refs):
     """Last-axis form: blocks (TB, n); transpose to batch-in-lanes and
     back inside VMEM (measured: the 2-D transposes are free).
 
@@ -370,7 +460,7 @@ def _kernel(radices, n, tb, pretwiddle, tw_lanes, store_kp, *refs):
         xi = xi3.reshape(tb, n)
     ar, ai = _stages(radices, n, tb, crefs,
                      jnp.transpose(xr), jnp.transpose(xi),
-                     tw_lanes=tw_lanes)
+                     tw_lanes=tw_lanes, sign=sign)
     if store_kp:
         # four-step fused store: rows are (b, k1) pairs with k1 = row mod
         # p; emit (g, n, p) blocks so the (B, p, q) -> (B, q, p) output
@@ -386,7 +476,7 @@ def _kernel(radices, n, tb, pretwiddle, tw_lanes, store_kp, *refs):
     yi_ref[...] = jnp.transpose(ai)
 
 
-def _kernel_inner(radices, n, g, tl, tw_lanes, *refs):
+def _kernel_inner(radices, n, g, tl, tw_lanes, sign, *refs):
     """Axis -2 form: blocks (G, n, TL); the trailing dims already are the
     lanes.  G leading rows share one grid step (small n would otherwise
     drown in per-block overhead); they fold into the lane dimension via a
@@ -395,14 +485,14 @@ def _kernel_inner(radices, n, g, tl, tw_lanes, *refs):
     yr_ref, yi_ref = refs[-2], refs[-1]
     if g == 1:
         ar, ai = _stages(radices, n, tl, refs[2:-2], xr_ref[0], xi_ref[0],
-                         tw_lanes=tw_lanes)
+                         tw_lanes=tw_lanes, sign=sign)
         yr_ref[0] = ar
         yi_ref[0] = ai
         return
     xr = jnp.transpose(xr_ref[...], (1, 0, 2)).reshape(n, g * tl)
     xi = jnp.transpose(xi_ref[...], (1, 0, 2)).reshape(n, g * tl)
     ar, ai = _stages(radices, n, g * tl, refs[2:-2], xr, xi,
-                     tw_lanes=tw_lanes)
+                     tw_lanes=tw_lanes, sign=sign)
     yr_ref[...] = jnp.transpose(ar.reshape(n, g, tl), (1, 0, 2))
     yi_ref[...] = jnp.transpose(ai.reshape(n, g, tl), (1, 0, 2))
 
@@ -445,7 +535,8 @@ def _make_call(n: int, radices: Sequence[int], sign: int, tb: int,
     if store_kp:
         assert pretwiddle_p and tb % pretwiddle_p == 0
     kernel = partial(_kernel, tuple(radices), n, tb, pretwiddle_p,
-                     tw_lanes, store_kp)
+                     tw_lanes, store_kp,
+                     sign if config.pallas_vpu_last else 0)
 
     data_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -523,6 +614,8 @@ def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    vsign = sign if config.pallas_vpu_last else 0   # build-time snapshot
+
     def make_fn(pre, L):
         # budget an (n x lanes) working set ~ the 1-D kernel's: first widen
         # the lane tile (cheap), then group leading rows.  L need not be a
@@ -541,7 +634,7 @@ def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
         consts = _stage_consts(n, radices, sign, tw_lanes)
         flat_consts = [c for stage in consts for c in stage]
         kernel = partial(_kernel_inner, tuple(radices), n, g, tle,
-                         tw_lanes)
+                         tw_lanes, vsign)
         data_spec = pl.BlockSpec((g, n, tle), lambda i, j: (i, 0, j),
                                  memory_space=pltpu.VMEM)
         const_specs = [pl.BlockSpec(c.shape, lambda i, j: (0, 0),
@@ -579,7 +672,7 @@ INNER_TILE_L = 128
 MAX_2D_POINTS = 300_000
 
 
-def _kernel_2d(rad1, rad2, n1, n2, tw1, tw2, *refs):
+def _kernel_2d(rad1, rad2, n1, n2, tw1, tw2, sign, *refs):
     """Fused 2-D form: block (1, n1, n2); FFT over BOTH trailing axes in
     one pass.  x -> T -> stages(n2) over sublanes [n1 lanes] -> T ->
     stages(n1) [n2 lanes] -> out; the 2-D transposes live in VMEM (free).
@@ -592,11 +685,11 @@ def _kernel_2d(rad1, rad2, n1, n2, tw1, tw2, *refs):
     ar = jnp.transpose(xr_ref[0])          # (n2, n1)
     ai = jnp.transpose(xi_ref[0])
     ar, ai = _stages(rad2, n2, n1, crefs2, ar, ai,   # FFT along n2
-                     tw_lanes=tw2)
+                     tw_lanes=tw2, sign=sign)
     ar = jnp.transpose(ar)                 # (n1, K2)
     ai = jnp.transpose(ai)
     ar, ai = _stages(rad1, n1, n2, crefs1, ar, ai,   # FFT along n1
-                     tw_lanes=tw1)
+                     tw_lanes=tw1, sign=sign)
     yr_ref[0] = ar
     yi_ref[0] = ai
 
@@ -616,7 +709,8 @@ def _make_call_2d(n1: int, n2: int, rad1, rad2, sign: int, interpret: bool):
     c2 = [c for st in _stage_consts(n2, rad2, sign, tw2) for c in st]
     c1 = [c for st in _stage_consts(n1, rad1, sign, tw1) for c in st]
     flat_consts = c2 + c1
-    kernel = partial(_kernel_2d, tuple(rad1), tuple(rad2), n1, n2, tw1, tw2)
+    kernel = partial(_kernel_2d, tuple(rad1), tuple(rad2), n1, n2, tw1, tw2,
+                     sign if config.pallas_vpu_last else 0)
 
     data_spec = pl.BlockSpec((1, n1, n2), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -803,7 +897,7 @@ def build_pallas_c2c_split(desc: Dict, sign: int, rdtype):
 # (the rdft2-ct-hc2c codelet role, fftw/fftw_api.c:5552-6190, fused whole)
 # ---------------------------------------------------------------------------
 
-def _kernel_r2c(radices, n, tb, tw_lanes, *refs):
+def _kernel_r2c(radices, n, tb, tw_lanes, vsign, *refs):
     """Block (tb, n) real in -> (tb, n//2+1) re/im out.
 
     The radix-2 DIT identity with real half-signals: A = DFT_m(even
@@ -823,9 +917,9 @@ def _kernel_r2c(radices, n, tb, tw_lanes, *refs):
     v = jnp.transpose(x_ref[...])              # (n, tb)
     v = v.reshape(m, 2 * tb)                   # row j: [x[2j,:], x[2j+1,:]]
     ar, ai = _stages(radices, m, tb, crefs, v[:, :tb], None,   # A (real)
-                     tw_lanes=tw_lanes)
+                     tw_lanes=tw_lanes, sign=vsign)
     br, bi = _stages(radices, m, tb, crefs, v[:, tb:], None,   # B (real)
-                     tw_lanes=tw_lanes)
+                     tw_lanes=tw_lanes, sign=vsign)
     afr = jnp.concatenate([ar, ar[0:1]], axis=0)          # (m+1, tb)
     afi = jnp.concatenate([ai, ai[0:1]], axis=0)
     bfr = jnp.concatenate([br, br[0:1]], axis=0)
@@ -850,7 +944,8 @@ def _make_call_r2c(n: int, radices, tb: int, interpret: bool):
     flat_consts = [np.ascontiguousarray(w.real, np.float32).reshape(m + 1, 1),
                    np.ascontiguousarray(w.imag, np.float32).reshape(m + 1, 1)]
     flat_consts += [c for stage in consts for c in stage]
-    kernel = partial(_kernel_r2c, tuple(radices), n, tb, tw_lanes)
+    kernel = partial(_kernel_r2c, tuple(radices), n, tb, tw_lanes,
+                     -1 if config.pallas_vpu_last else 0)
 
     in_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -925,7 +1020,7 @@ def build_pallas_r2c(desc: Dict, rdtype):
 # (imaginary parts of the DC/Nyquist bins drop out, matching pocketfft/FFTW)
 # ---------------------------------------------------------------------------
 
-def _kernel_c2r(radices, n, tb, tw_lanes, *refs):
+def _kernel_c2r(radices, n, tb, tw_lanes, vsign, *refs):
     """Blocks: (tb, m+1) re/im in -> (tb, n) real out."""
     xr_ref, xi_ref = refs[0], refs[1]
     vr_ref, vi_ref = refs[2], refs[3]
@@ -937,12 +1032,12 @@ def _kernel_c2r(radices, n, tb, tw_lanes, *refs):
     xi = jnp.transpose(xi_ref[...])
     xpr, xpi = xr[:m], xi[:m]                  # X' rows 0..m-1
     pr, _pi = _stages(radices, m, tb, crefs, xpr, xpi,     # P = T_+(X')
-                      tw_lanes=tw_lanes)
+                      tw_lanes=tw_lanes, sign=vsign)
     vr = vr_ref[...]                           # (m, 1)
     vi = vi_ref[...]
     hr, _hi = _stages(radices, m, tb, crefs,
                       xpr * vr - xpi * vi, xpr * vi + xpi * vr,
-                      tw_lanes=tw_lanes)
+                      tw_lanes=tw_lanes, sign=vsign)
     dc = xr[0:1]                               # Re X[0] row
     ny = xr[m:m + 1]                           # Re X[m] row
     ye = 2.0 * pr + ny - dc                    # (m, tb)
@@ -963,7 +1058,8 @@ def _make_call_c2r(n: int, radices, tb: int, interpret: bool):
     flat_consts = [np.ascontiguousarray(v.real, np.float32).reshape(m, 1),
                    np.ascontiguousarray(v.imag, np.float32).reshape(m, 1)]
     flat_consts += [c for stage in consts for c in stage]
-    kernel = partial(_kernel_c2r, tuple(radices), n, tb, tw_lanes)
+    kernel = partial(_kernel_c2r, tuple(radices), n, tb, tw_lanes,
+                     +1 if config.pallas_vpu_last else 0)
 
     in_spec = pl.BlockSpec((tb, m + 1), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)

@@ -204,3 +204,77 @@ def test_fourstep_planner_integration():
     got = np.asarray(p.execute(x))
     want = np.fft.fft(x, axis=1)
     assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-4
+
+
+class TestVpuLastStage:
+    """config.pallas_vpu_last: the final Stockham stage as pure-f32 VPU
+    radix-4/2 butterflies (no bf16 hi/lo machinery) — the round-3
+    headline candidate.  Gate: final radix a power of two <= 32.
+    Covers every kernel form that routes through ``_stages``."""
+
+    @pytest.fixture(autouse=True)
+    def _vpu(self):
+        old = config.pallas_vpu_last
+        config.pallas_vpu_last = True
+        yield
+        config.pallas_vpu_last = old
+
+    @pytest.mark.parametrize("n,rad", [(1024, [64, 16]), (512, [32, 16]),
+                                       (2048, [64, 32]), (128, [16, 8]),
+                                       (256, [64, 4]), (256, [128, 2])])
+    def test_1d_both_signs(self, n, rad):
+        _run(n, rad, sign=-1)
+        _run(n, rad, sign=+1)
+
+    def test_non_pow2_final_radix_falls_back(self):
+        _run(1000, [40, 25])         # gate skips; must stay correct
+
+    def test_matches_mxu_path_closely(self):
+        """Flag on/off agree to f32 rounding (same transform, different
+        final-stage arithmetic)."""
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((4, 1024)).astype(np.float32)
+        y = rng.standard_normal((4, 1024)).astype(np.float32)
+        desc = {"alg": "pallas", "n": 1024, "radices": [64, 16],
+                "tile_b": 128}
+        fn_on = PS.build_pallas_c2c_split(desc, -1, np.float32)
+        r_on = jax.jit(fn_on)(x, y)
+        config.pallas_vpu_last = False
+        fn_off = PS.build_pallas_c2c_split(desc, -1, np.float32)
+        r_off = jax.jit(fn_off)(x, y)
+        config.pallas_vpu_last = True
+        scale = float(np.max(np.abs(np.asarray(r_off[0]))))
+        for a, b in zip(r_on, r_off):
+            assert np.max(np.abs(np.asarray(a) - np.asarray(b))) / scale \
+                < 5e-5
+
+    def test_r2c_c2r_roundtrip(self):
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((130, 512)).astype(np.float32)
+        fwd = PS.build_pallas_r2c({"alg": "pallas_r2c", "n": 512},
+                                  np.float32)
+        bwd = PS.build_pallas_c2r({"alg": "pallas_c2r", "n": 512},
+                                  np.float32)
+        X = jax.jit(fwd)(x)
+        ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+        assert np.max(np.abs(np.asarray(X) - ref)) \
+            / np.max(np.abs(ref)) < 1e-4
+        y = np.asarray(jax.jit(bwd)(X)) / 512.0
+        assert np.max(np.abs(y - x)) < 1e-4
+
+    def test_gradients(self):
+        """Custom VJP path with the VPU final stage."""
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((2, 256)), jnp.float32)
+        fn = PS.build_pallas_c2c_split(
+            {"alg": "pallas", "n": 256, "radices": [16, 16],
+             "tile_b": 128}, -1, np.float32)
+
+        def loss(a):
+            yr, yi = fn(a, jnp.zeros_like(a))
+            return jnp.sum(yr ** 2 + yi ** 2)
+
+        g = jax.grad(loss)(x)
+        # Parseval: d/dx sum |F x|^2 = 2 n x for real x
+        assert np.allclose(np.asarray(g), 2 * 256 * np.asarray(x),
+                           rtol=1e-4, atol=1e-2)
