@@ -20,6 +20,64 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 
+def bench_4096(rng, interp):
+    """n=4096 single-kernel schedules with the VPU final stage vs the
+    pallas4 four-step.  With two MXU stages these blew scoped VMEM
+    (MAX_N=2048); the VPU stage drops the final G/cross operands — if one
+    compiles and beats pallas4's ~80 ps/pt marginal slope, the four-step's
+    third HBM pass disappears at n=4096."""
+    import jax
+    import jax.numpy as jnp
+
+    from fftw3_tpu import config
+    from fftw3_tpu.ops import pallas_stockham as ps
+    from fftw3_tpu.utils import timing
+
+    n = 4096
+    fns = {}
+    p4, q4 = ps.choose_fourstep(n)
+    fns["pallas4"] = jax.jit(ps.build_pallas_c2c_split_fourstep(
+        {"alg": "pallas4", "n": n, "p": p4, "q": q4}, -1, np.float32))
+    for rad in ([128, 32], [64, 64]):
+        config.pallas_vpu_last = True
+        try:
+            fns[f"single{rad}"] = jax.jit(ps.build_pallas_c2c_split(
+                {"alg": "pallas", "n": n, "radices": rad, "tile_b": 128},
+                -1, np.float32))
+        finally:
+            config.pallas_vpu_last = False
+
+    vr = rng.standard_normal((256, n)).astype(np.float32)
+    vi = rng.standard_normal((256, n)).astype(np.float32)
+    ref = np.fft.fft((vr + 1j * vi).astype(np.complex128), axis=1)
+    good = []
+    for tag, fn in fns.items():
+        try:
+            yr, yi = fn(vr, vi)
+            err = np.max(np.abs(np.asarray(yr) + 1j * np.asarray(yi) - ref)
+                         ) / np.max(np.abs(ref))
+            print(f"n=4096 {tag}: relerr={err:.1e}", flush=True)
+            if err < 1e-3:
+                good.append((tag, fn))
+        except Exception as e:                         # noqa: BLE001
+            print(f"n=4096 {tag}: FAIL {str(e)[:140]}", flush=True)
+    if interp:
+        return
+    b_lo, b_hi = 2048, 6144
+    configs = []
+    for tag, fn in good:
+        for b in (b_lo, b_hi):
+            xr = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
+            xi = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
+            configs.append((fn, (xr, xi)))
+    ts = timing.time_chained_multi(configs, k1=4, k2=16, reps=9)
+    for i, (tag, _) in enumerate(good):
+        s = (ts[2 * i + 1] - ts[2 * i]) / ((b_hi - b_lo) * n) * 1e12
+        gf = 5.0 * np.log2(n) / (s * 1e-12) / 1e9
+        print(f"n=4096 {tag}: {s:.1f} ps/pt ({gf:.0f} GFLOPS slope)",
+              flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -33,6 +91,9 @@ def main():
     interp = jax.default_backend() != "tpu"
 
     for n in ns:
+        if n == 4096:
+            bench_4096(rng, interp)
+            continue
         rad = ps.choose_radices(n)
         desc = {"alg": "pallas", "n": n, "radices": rad, "tile_b": 128}
         fns = {}

@@ -355,7 +355,7 @@ def _vpu_last_ok(p: int, sign: int) -> bool:
     ``config.pallas_vpu_last`` (0 when the flag was off at plan build —
     the flag must NOT be read at trace time, or a plan built under one
     setting would silently retrace under another)."""
-    return sign != 0 and p <= 32 and (p & (p - 1)) == 0
+    return sign != 0 and p <= 64 and (p & (p - 1)) == 0
 
 
 def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0, sign=0):
