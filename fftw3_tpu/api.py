@@ -142,7 +142,7 @@ def plan_r2r(shape: Sequence[int], kinds: Sequence[Union[Kind, str]],
              axes=None, flags: int = ESTIMATE, dtype="float32") -> Plan:
     shape = tuple(shape)
     axes = _axes_tuple(shape, axes)
-    ks = tuple(k if isinstance(k, Kind) else Kind(str(k).lower())
+    ks = tuple(K.kind_from_name(k)        # Kind | name | fftw3.h enum int
                for k in (kinds if isinstance(kinds, (list, tuple))
                          else [kinds] * len(axes)))
     prob = Problem(shape=shape, axes=axes, kind="r2r", r2r_kinds=ks,
@@ -273,7 +273,7 @@ def estimate_cost(shape: Sequence[int], axes=None, kind: str = "c2c",
         n = shape[a]
         if kind == "r2r":
             k = r2r_kinds[i] if i < len(r2r_kinds) else Kind.R2HC
-            k = k if isinstance(k, Kind) else Kind(str(k).lower())
+            k = K.kind_from_name(k)
             total += pl._cost("r2r", pl.plan_r2r(k, n, rd, pat))
         elif kind in ("r2c", "c2r") and a == axes[-1]:
             desc = (pl.plan_r2c if kind == "r2c" else pl.plan_c2r)(n, rd, pat)
@@ -565,3 +565,43 @@ def alignment_of(x) -> int:
     """fftw_alignment_of analog: always 0 — every logical array is
     'aligned'; plans never specialize on alignment."""
     return 0
+
+
+def malloc(n: int) -> np.ndarray:
+    """fftw_malloc analog: a zeroed byte buffer.  SIMD alignment is
+    meaningless for logical arrays on TPU (XLA owns device layout);
+    provided for source compatibility (fftw3.h declares fftw_malloc
+    beside the typed alloc_real/alloc_complex)."""
+    return np.zeros(int(n), dtype=np.uint8)
+
+
+def free(x) -> None:
+    """fftw_free analog: a no-op — the Python GC / XLA own every buffer.
+    Accepts anything alloc_real/alloc_complex/malloc returned."""
+
+
+def destroy_plan(plan) -> None:
+    """fftw_destroy_plan analog: a no-op — plans are garbage-collected
+    (plan lifecycle, fftw_api.c mkapiplan/destroy role).  Dropping the
+    caller's reference is the TPU-native 'destroy'; cached wisdom is
+    owned by the planner, not the plan (use forget_wisdom/cleanup)."""
+
+
+def export_wisdom_to_file(f) -> bool:
+    """fftw_export_wisdom_to_file analog: write wisdom to an open
+    file OBJECT (the FILE* form; the _to_filename variant opens a
+    path)."""
+    try:
+        f.write(export_wisdom_to_string())
+        return True
+    except (OSError, AttributeError):
+        return False
+
+
+def import_wisdom_from_file(f) -> bool:
+    """fftw_import_wisdom_from_file analog: read wisdom from an open
+    file object."""
+    try:
+        return import_wisdom_from_string(f.read())
+    except (OSError, AttributeError):
+        return False

@@ -405,6 +405,33 @@ def execute_r2r(plan, x):
     return plan.execute(x)
 
 
+def execute_split_dft_r2c(plan, x):
+    """fftw_execute_split_dft_r2c analog (new-array execute on an r2c
+    plan, split output): real array in -> (re, im) arrays out.  Accepts a
+    SplitR2CPlan or any r2c plan."""
+    if isinstance(plan, SplitR2CPlan):
+        return plan.execute(x)
+    if plan.problem.kind != "r2c":
+        raise ValueError("execute_split_dft_r2c requires an r2c plan")
+    w = getattr(plan, "_split_wrap", None)     # one trace per plan
+    if w is None:
+        w = plan._split_wrap = SplitR2CPlan(plan)
+    return w.execute(x)
+
+
+def execute_split_dft_c2r(plan, ri, ii):
+    """fftw_execute_split_dft_c2r analog: (re, im) arrays in -> real
+    array out.  Accepts a SplitC2RPlan or any c2r plan."""
+    if isinstance(plan, SplitC2RPlan):
+        return plan.execute(ri, ii)
+    if plan.problem.kind != "c2r":
+        raise ValueError("execute_split_dft_c2r requires a c2r plan")
+    w = getattr(plan, "_split_wrap", None)     # one trace per plan
+    if w is None:
+        w = plan._split_wrap = SplitC2RPlan(plan)
+    return w.execute(ri, ii)
+
+
 class SplitR2CPlan:
     """Split-output r2c plan: real in -> (re, im) arrays out
     (fftw_plan_guru_split_dft_r2c analog)."""

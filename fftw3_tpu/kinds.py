@@ -49,6 +49,19 @@ R2R_KINDS = (
 FORWARD = -1
 BACKWARD = +1
 
+#: fftw_r2r_kind analog (fftw3.h:109-110 enum): the type name user code
+#: annotates with, plus the enum's INTEGER values for ABI-level
+#: translation (FFTW_R2HC=0 .. FFTW_RODFT11=10).  Kind strings, Kind
+#: members, and these integers are all accepted wherever a kind is
+#: expected (plan_r2r / plan_many_r2r / guru).
+r2r_kind = Kind
+
+R2R_KIND_VALUES = {
+    0: Kind.R2HC, 1: Kind.HC2R, 2: Kind.DHT,
+    3: Kind.REDFT00, 4: Kind.REDFT01, 5: Kind.REDFT10, 6: Kind.REDFT11,
+    7: Kind.RODFT00, 8: Kind.RODFT01, 9: Kind.RODFT10, 10: Kind.RODFT11,
+}
+
 # ---------------------------------------------------------------------------
 # Planner flags — same bit values as fftw3.h:475-489 so user code translates
 # one-to-one.  Only the planning-rigor and wisdom bits are meaningful here;
@@ -85,7 +98,11 @@ def patience_of_flags(flags: int) -> int:
 
 
 #: r2r kind name <-> enum helpers for wisdom serialization.
-def kind_from_name(name: str) -> Kind:
+def kind_from_name(name) -> Kind:
+    if isinstance(name, Kind):
+        return name
+    if isinstance(name, int):
+        return R2R_KIND_VALUES[name]       # fftw3.h enum integer
     return Kind(name.lower())
 
 
