@@ -14,3 +14,9 @@ from .dist import (  # noqa: F401
     plan_dft_c2r_dist, plan_dft_dist, plan_dft_pencil, plan_dft_r2c_dist,
     plan_r2r_dist, plan_transpose)
 from .wisdom_sync import broadcast_wisdom, gather_wisdom  # noqa: F401
+from .mpi_api import (  # noqa: F401  (fftw3-mpi.h-named conveniences)
+    cleanup, ddim, plan_dft, plan_dft_1d, plan_dft_2d, plan_dft_3d,
+    plan_dft_c2r, plan_dft_c2r_2d, plan_dft_c2r_3d, plan_dft_r2c,
+    plan_dft_r2c_2d, plan_dft_r2c_3d, plan_many_dft, plan_many_dft_c2r,
+    plan_many_dft_r2c, plan_many_r2r, plan_many_transpose, plan_r2r,
+    plan_r2r_2d, plan_r2r_3d)

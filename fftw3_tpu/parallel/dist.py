@@ -384,6 +384,9 @@ class DistPlan:
     def __call__(self, x):
         return self._fn(x)
 
+    #: fftw_mpi_execute_* analog, matching the serial Plan interface
+    execute = __call__
+
     @property
     def apply(self):
         return self._fn

@@ -325,3 +325,55 @@ def test_explicit_block1(rng):
         assert y.shape == s
     with pytest.raises(ValueError, match="block1"):
         plan_dft_dist(s, mesh, dtype="complex128", block1=2)
+
+
+def test_fftw3_mpi_h_symbol_surface(rng):
+    """Every XM() symbol fftw3-mpi.h exports has an analog in
+    fftw3_tpu.parallel (fftw/mpi/fftw3-mpi.h declaration list; the MPI
+    communicator becomes mesh + axis_name)."""
+    import fftw3_tpu.parallel as par
+
+    for name in [
+        "broadcast_wisdom", "cleanup", "ddim", "execute_dft",
+        "execute_dft_c2r", "execute_dft_r2c", "execute_r2r",
+        "gather_wisdom", "init", "local_size", "local_size_1d",
+        "local_size_2d", "local_size_2d_transposed", "local_size_3d",
+        "local_size_3d_transposed", "local_size_many",
+        "local_size_many_1d", "local_size_many_transposed",
+        "local_size_transposed", "plan_dft", "plan_dft_1d", "plan_dft_2d",
+        "plan_dft_3d", "plan_dft_c2r", "plan_dft_c2r_2d",
+        "plan_dft_c2r_3d", "plan_dft_r2c", "plan_dft_r2c_2d",
+        "plan_dft_r2c_3d", "plan_many_dft", "plan_many_dft_c2r",
+        "plan_many_dft_r2c", "plan_many_r2r", "plan_many_transpose",
+        "plan_r2r", "plan_r2r_2d", "plan_r2r_3d", "plan_transpose",
+    ]:
+        assert hasattr(par, name), f"fftw3-mpi.h analog missing: {name}"
+
+    mesh = make_mesh(4)
+    # dimension-suffixed + many-vector planners end-to-end
+    p = par.plan_dft_2d(16, 12, mesh, dtype="complex128")
+    x = (rng.standard_normal((16, 12))
+         + 1j * rng.standard_normal((16, 12))).astype("complex128")
+    y = p.execute(sharded(x, mesh, P("x")))
+    assert relerr(y, np.fft.fft2(x)) < 1e-10
+
+    p = par.plan_many_dft((16, 12), 3, mesh, dtype="complex128")
+    xv = (rng.standard_normal((16, 12, 3))
+          + 1j * rng.standard_normal((16, 12, 3))).astype("complex128")
+    yv = p.execute(sharded(xv, mesh, P("x")))
+    assert relerr(yv, np.fft.fft2(xv, axes=(0, 1))) < 1e-10
+
+    p = par.plan_many_dft_r2c((16, 12), 2, mesh, dtype="float64")
+    xr = rng.standard_normal((16, 12, 2))
+    yr = np.asarray(p.execute(sharded(xr, mesh, P("x"))))
+    ref = np.fft.rfft2(xr, axes=(0, 1))
+    assert yr.shape == ref.shape and relerr(yr, ref) < 1e-10
+    p = par.plan_many_dft_c2r((16, 12), 2, mesh, dtype="float64")
+    back = np.asarray(p.execute(sharded(np.ascontiguousarray(yr), mesh,
+                                        P("x"))))
+    assert np.max(np.abs(back / (16 * 12) - xr)) < 1e-10
+
+    p = par.plan_many_transpose(16, 8, 2, mesh, dtype="complex128")
+    xt = (rng.standard_normal((16, 8, 2))).astype(np.complex128)
+    assert np.allclose(np.asarray(p.execute(sharded(xt, mesh, P("x")))),
+                       np.swapaxes(xt, 0, 1))
