@@ -101,30 +101,49 @@ def main():
             config.pallas_vpu_last = flag
             fns[tag] = jax.jit(ps.build_pallas_c2c_split(
                 dict(desc), -1, np.float32))
+        # radix re-sweep under the VPU stage: the measured stage-cost
+        # curves were fit with MXU finals; a free-ish final stage may
+        # move the optimum (e.g. [32,32] vs [64,16] at n=1024)
+        config.pallas_vpu_last = True
+        for alt in ps.alternative_radices(n, k=4):
+            if alt != rad and len(alt) == 2 and alt[1] <= 64 \
+                    and (alt[1] & (alt[1] - 1)) == 0:
+                fns[f"vpu{alt}"] = jax.jit(ps.build_pallas_c2c_split(
+                    {"alg": "pallas", "n": n, "radices": alt,
+                     "tile_b": 128}, -1, np.float32))
         config.pallas_vpu_last = False
 
-        # verify both on chip first
+        # verify every variant on chip first (drop any that fails:
+        # a VMEM overflow or miscompile must not kill the A/B)
         vr = rng.standard_normal((256, n)).astype(np.float32)
         vi = rng.standard_normal((256, n)).astype(np.float32)
         ref = np.fft.fft((vr + 1j * vi).astype(np.complex128), axis=1)
-        for tag in ("prod", "vpu"):
-            yr, yi = fns[tag](vr, vi)
-            err = np.max(np.abs(np.asarray(yr) + 1j * np.asarray(yi) - ref)
-                         ) / np.max(np.abs(ref))
-            print(f"n={n} {tag}: relerr={err:.1e}", flush=True)
-            assert err < 1e-3, (tag, err)
+        # prod2 last so the timing order is A/B/.../A (drift bracket)
+        tags = [t for t in fns if t != "prod2"] + ["prod2"]
+        good = []
+        for tag in tags:
+            try:
+                yr, yi = fns[tag](vr, vi)
+                err = np.max(np.abs(np.asarray(yr) + 1j * np.asarray(yi)
+                                    - ref)) / np.max(np.abs(ref))
+                if tag != "prod2":
+                    print(f"n={n} {tag}: relerr={err:.1e}", flush=True)
+                assert err < 1e-3, err
+                good.append(tag)
+            except Exception as e:                     # noqa: BLE001
+                print(f"n={n} {tag}: FAIL {str(e)[:140]}", flush=True)
         if interp:
             continue
 
         b_lo, b_hi = 8192, 24576
         configs = []
-        for tag in ("prod", "vpu", "prod2"):
+        for tag in good:
             for b in (b_lo, b_hi):
                 xr = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
                 xi = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
                 configs.append((fns[tag], (xr, xi)))
         ts = timing.time_chained_multi(configs, k1=4, k2=16, reps=9)
-        for i, tag in enumerate(("prod", "vpu", "prod2")):
+        for i, tag in enumerate(good):
             s = (ts[2 * i + 1] - ts[2 * i]) / ((b_hi - b_lo) * n) * 1e12
             gf = 5.0 * np.log2(n) / (s * 1e-12) / 1e9
             print(f"n={n} {tag}: {s:.1f} ps/pt ({gf:.0f} GFLOPS slope)",

@@ -499,7 +499,7 @@ def _kernel_inner(radices, n, g, tl, tw_lanes, sign, *refs):
 
 def _make_call(n: int, radices: Sequence[int], sign: int, tb: int,
                interpret: bool, pretwiddle_p: int = 0,
-               store_transposed: bool = False):
+               store_transposed: bool = False, vpu=None):
     """pretwiddle_p > 0: fuse the four-step twiddle w[k1, j2] =
     exp(sign*2pi*i*k1*j2/(p*n)) into the load phase, where k1 = global row
     index mod p.  Requires p | tb or tb | p (power-of-two p).
@@ -534,9 +534,10 @@ def _make_call(n: int, radices: Sequence[int], sign: int, tb: int,
     store_kp = pretwiddle_p if store_transposed else 0
     if store_kp:
         assert pretwiddle_p and tb % pretwiddle_p == 0
+    if vpu is None:
+        vpu = config.pallas_vpu_last       # build-time snapshot
     kernel = partial(_kernel, tuple(radices), n, tb, pretwiddle_p,
-                     tw_lanes, store_kp,
-                     sign if config.pallas_vpu_last else 0)
+                     tw_lanes, store_kp, sign if vpu else 0)
 
     data_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -607,14 +608,16 @@ def _inner_radices(n: int, radices: Sequence[int]) -> List[int]:
 
 
 def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
-                     interpret: bool):
+                     interpret: bool, vpu=None):
     """pallas_call factory for the axis -2 form: data (pre, n, L), blocks
     (G, n, TL) — no HBM-level transposes (the lanes ARE the trailing
     dims); G leading rows amortize per-block overhead for small n."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    vsign = sign if config.pallas_vpu_last else 0   # build-time snapshot
+    if vpu is None:
+        vpu = config.pallas_vpu_last       # build-time snapshot
+    vsign = sign if vpu else 0
 
     def make_fn(pre, L):
         # budget an (n x lanes) working set ~ the 1-D kernel's: first widen
@@ -700,7 +703,8 @@ def _n_consts(radices) -> int:
     return 3 * len(radices) - 2
 
 
-def _make_call_2d(n1: int, n2: int, rad1, rad2, sign: int, interpret: bool):
+def _make_call_2d(n1: int, n2: int, rad1, rad2, sign: int, interpret: bool,
+                  vpu=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -709,8 +713,10 @@ def _make_call_2d(n1: int, n2: int, rad1, rad2, sign: int, interpret: bool):
     c2 = [c for st in _stage_consts(n2, rad2, sign, tw2) for c in st]
     c1 = [c for st in _stage_consts(n1, rad1, sign, tw1) for c in st]
     flat_consts = c2 + c1
+    if vpu is None:
+        vpu = config.pallas_vpu_last       # build-time snapshot
     kernel = partial(_kernel_2d, tuple(rad1), tuple(rad2), n1, n2, tw1, tw2,
-                     sign if config.pallas_vpu_last else 0)
+                     sign if vpu else 0)
 
     data_spec = pl.BlockSpec((1, n1, n2), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -766,7 +772,8 @@ def build_pallas_c2c_split_2d(n1: int, n2: int, sign: int, rdtype):
         interpret = True
     else:
         interpret = False
-    call = _make_call_2d(n1, n2, rad1, rad2, sign, interpret)
+    vpu = config.pallas_vpu_last           # pin for fwd AND lazy adjoint
+    call = _make_call_2d(n1, n2, rad1, rad2, sign, interpret, vpu=vpu)
     adj_call = [None]
 
     def _run(xr, xi, c):
@@ -784,7 +791,8 @@ def build_pallas_c2c_split_2d(n1: int, n2: int, sign: int, rdtype):
 
     def bwd(_, g):
         if adj_call[0] is None:
-            adj_call[0] = _make_call_2d(n1, n2, rad1, rad2, -sign, interpret)
+            adj_call[0] = _make_call_2d(n1, n2, rad1, rad2, -sign, interpret,
+                                        vpu=vpu)
         return _run(g[0], g[1], adj_call[0])
 
     apply.defvjp(fwd, bwd)
@@ -806,7 +814,8 @@ def build_pallas_c2c_split_inner(desc: Dict, sign: int, rdtype):
     else:
         interpret = False
     tl = INNER_TILE_L
-    call = _make_call_inner(n, radices, sign, tl, interpret)
+    vpu = config.pallas_vpu_last           # pin for fwd AND lazy adjoint
+    call = _make_call_inner(n, radices, sign, tl, interpret, vpu=vpu)
     adj_call = [None]
 
     def _run(xr, xi, c):
@@ -825,7 +834,8 @@ def build_pallas_c2c_split_inner(desc: Dict, sign: int, rdtype):
 
     def bwd(_, g):
         if adj_call[0] is None:
-            adj_call[0] = _make_call_inner(n, radices, -sign, tl, interpret)
+            adj_call[0] = _make_call_inner(n, radices, -sign, tl, interpret,
+                                           vpu=vpu)
         return _run(g[0], g[1], adj_call[0])
 
     apply.defvjp(fwd, bwd)
@@ -858,7 +868,8 @@ def build_pallas_c2c_split(desc: Dict, sign: int, rdtype):
         interpret = True
     else:
         interpret = False
-    call = _make_call(n, radices, sign, tb, interpret)
+    vpu = config.pallas_vpu_last           # pin for fwd AND lazy adjoint
+    call = _make_call(n, radices, sign, tb, interpret, vpu=vpu)
     # VJP of an unnormalized DFT is the opposite-sign unnormalized DFT
     # (the real-split map [[A,-B],[B,A]] has transpose [[A,B],[-B,A]],
     # i.e. conj(F) = F_{-sign}); built lazily, only if grads are taken.
@@ -885,7 +896,8 @@ def build_pallas_c2c_split(desc: Dict, sign: int, rdtype):
 
     def bwd(_, g):
         if adj_call[0] is None:
-            adj_call[0] = _make_call(n, radices, -sign, tb, interpret)
+            adj_call[0] = _make_call(n, radices, -sign, tb, interpret,
+                                     vpu=vpu)
         return _run(g[0], g[1], adj_call[0])
 
     apply.defvjp(fwd, bwd)
@@ -1177,9 +1189,11 @@ def build_pallas_c2c_split_fourstep(desc: Dict, sign: int, rdtype):
     # lane dim is p, and narrow lanes make the store a net loss (measured
     # same-session: p=32 fused 187 vs 133 ps/pt; p=128 fused 143 vs 165)
     fstore = (p == tb)
-    inner = _make_call_inner(p, rad_p, sign, INNER_TILE_L, interpret)
+    vpu = config.pallas_vpu_last           # pin for fwd AND lazy adjoint
+    inner = _make_call_inner(p, rad_p, sign, INNER_TILE_L, interpret,
+                             vpu=vpu)
     outer = _make_call(q, rad_q, sign, tb, interpret, pretwiddle_p=p,
-                       store_transposed=fstore)
+                       store_transposed=fstore, vpu=vpu)
     adj = [None]
 
     def _run(xr, xi, calls):
@@ -1222,9 +1236,10 @@ def build_pallas_c2c_split_fourstep(desc: Dict, sign: int, rdtype):
     def bwd(_, g):
         if adj[0] is None:
             adj[0] = (_make_call_inner(p, rad_p, -sign, INNER_TILE_L,
-                                       interpret),
+                                       interpret, vpu=vpu),
                       _make_call(q, rad_q, -sign, tb, interpret,
-                                 pretwiddle_p=p, store_transposed=fstore))
+                                 pretwiddle_p=p, store_transposed=fstore,
+                                 vpu=vpu))
         return _run(g[0], g[1], adj[0])
 
     apply.defvjp(fwd, bwd)
