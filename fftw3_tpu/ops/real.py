@@ -131,6 +131,13 @@ def build_c2r(desc: Dict, rdtype) -> Apply:
 
         def apply_pack(X):
             X = X.astype(ctype)
+            # drop imaginary parts of the DC/Nyquist bins first: numpy,
+            # FFTW's hc format, and every other c2r solver here ignore
+            # them (pocketfft convention); the even/odd untangle below
+            # would otherwise leak them into the output
+            X = jnp.concatenate(
+                [jnp.real(X[..., :1]).astype(ctype), X[..., 1:m],
+                 jnp.real(X[..., m:m + 1]).astype(ctype)], axis=-1)
             Xr = jnp.conj(X[..., ::-1])                           # conj X[m-k]
             Ze = 0.5 * (X + Xr)
             Zo = 0.5 * (X - Xr) * w

@@ -347,39 +347,21 @@ def _make_plan_inner(problem: Problem, flags: int,
         nd = len(shape)
         ins = list(shape)
         ins[last] = n_last // 2 + 1
-        # inverse of the r2c DC/Nyquist pack (see the r2c branch): columns
-        # 0 and n/2 of a valid halfcomplex input are conjugate-symmetric
-        # along every non-last axis, so their inverse transforms are real
-        # — pack them as one complex column before the backward passes
-        # (even lane count for the Pallas tiles), split Re/Im after.
-        pack = (n_last % 2 == 0 and n_last >= 4 and len(axes) > 1
-                and last == nd - 1)
-        if pack:
-            half = n_last // 2
-            pins = list(shape)
-            pins[last] = half
-
-            def pack_stage(x, _h=half):
-                z0 = x[..., :1] + 1j * x[..., _h:_h + 1]
-                return jnp.concatenate([z0, x[..., 1:_h]], axis=-1)
-            stages.append(pack_stage)
-            pass_shape = tuple(pins)
-        else:
-            pass_shape = tuple(ins)
+        # NOTE: no DC/Nyquist pack on the INVERSE (unlike the r2c branch).
+        # Packing columns 0 and n/2 before the backward passes assumes
+        # they are conjugate-symmetric along every non-last axis — true
+        # only for Hermitian-VALID input.  Spectral-derivative workloads
+        # routinely feed technically-invalid spectra (e.g. irfft2 of
+        # i*ky*W leaves imaginary junk in the y-Nyquist row), and both
+        # numpy and the reference (rank>=2 c2r = full c2c passes on
+        # non-last axes, fftw_api.c:5552-6190) USE that content; a pack
+        # would silently project it away (caught by the Navier-Stokes
+        # distributed-vs-single test at 1.8e-3 per step).
         for a in axes[:-1]:
             d = pl.plan_c2c(shape[a], rdtype, patience, batch=_vec(a))
             descriptors[a] = d
             stages.append(_complex_of_split(
-                _c2c_stage(d, K.BACKWARD, rdtype, a, pass_shape)))
-        if pack:
-            def unpack_stage(y):
-                z = y[..., 0]
-                a = jnp.real(z)
-                b = jnp.imag(z)
-                return jnp.concatenate(
-                    [a[..., None].astype(y.dtype), y[..., 1:],
-                     b[..., None].astype(y.dtype)], axis=-1)
-            stages.append(unpack_stage)
+                _c2c_stage(d, K.BACKWARD, rdtype, a, tuple(ins))))
         desc = pl.plan_c2r(n_last, rdtype, patience, batch=_vec(last))
         descriptors[last] = desc
         stages.append(_along_axis(real_ops.build_c2r(desc, rdtype),

@@ -90,3 +90,22 @@ def test_fft_norms(rng):
         np.testing.assert_allclose(np.asarray(ftpu.ifft(z, norm=norm)),
                                    np.fft.ifft(z, norm=norm or "backward"),
                                    atol=1e-12)
+
+
+def test_irfftn_non_hermitian_input_matches_numpy(rng):
+    """rank>=2 c2r on a technically-INVALID (non-Hermitian-consistent)
+    spectrum must match numpy exactly: numpy and the reference run FULL
+    complex inverse passes on non-last axes (fftw_api.c:5552-6190), so
+    imaginary junk in the DC/Nyquist columns' Nyquist rows contributes to
+    the result.  Spectral-derivative workloads (irfft2 of i*k*W) depend
+    on this; a DC/Nyquist column pack on the inverse silently projected
+    it away (round-3 regression, caught at 1.8e-3 by the Navier-Stokes
+    distributed-vs-single test)."""
+    ny, nx = 32, 32
+    w = rng.standard_normal((ny, nx))
+    W = np.fft.rfft2(w)
+    ky = np.fft.fftfreq(ny, 1.0 / ny)[:, None]
+    G = 1j * ky * W                    # y-Nyquist row becomes imaginary
+    got = np.asarray(ftpu.irfft2(G.astype(np.complex128), s=(ny, nx)))
+    want = np.fft.irfft2(G, s=(ny, nx))
+    np.testing.assert_allclose(got, want, atol=1e-10)
