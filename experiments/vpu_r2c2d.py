@@ -22,16 +22,33 @@ def main():
     from fftw3_tpu import config
     from fftw3_tpu.utils import timing
 
+    from fftw3_tpu.ops import pallas_stockham as ps
+
     n, b = 2048, 8
     rng = np.random.default_rng(0)
     interp = jax.default_backend() != "tpu"
     fns = {}
-    for tag, flag in [("prod", False), ("vpu", True), ("prod2", False)]:
+    np_max0 = ps.INNER_NP_MAX
+    # vpu_wide: the VPU final stage drops the last stage's G/cross-pass
+    # VMEM operands, so ALSO try readmitting the [128, 16] schedule the
+    # INNER_NP_MAX bound rejects (measured with MXU finals; a p=128 first
+    # stage halves the stage count's twiddle sweeps).  A scoped-VMEM
+    # compile failure here is expected-possible and just drops the arm.
+    for tag, flag, np_max in [("prod", False, np_max0),
+                              ("vpu", True, np_max0),
+                              ("vpu_wide", True, n * 128),
+                              ("prod2", False, np_max0)]:
         config.pallas_vpu_last = flag
+        ps.INNER_NP_MAX = np_max
         ftpu.forget_wisdom()
-        plan = ftpu.plan_dft_r2c((b, n, n), axes=(1, 2), dtype="float32")
-        if tag == "prod":
-            print(f"plan: {plan!r}", flush=True)
+        try:
+            plan = ftpu.plan_dft_r2c((b, n, n), axes=(1, 2),
+                                     dtype="float32")
+        finally:
+            config.pallas_vpu_last = False
+            ps.INNER_NP_MAX = np_max0
+        if tag in ("prod", "vpu_wide"):
+            print(f"{tag} plan: {plan!r}", flush=True)
 
         def make(p):
             def run(a):
@@ -39,12 +56,11 @@ def main():
                 return jnp.real(y), jnp.imag(y)
             return jax.jit(run)
         fns[tag] = make(plan)
-    config.pallas_vpu_last = False
 
     xv = rng.standard_normal((b, n, n)).astype(np.float32)
     ref = np.fft.rfftn(xv[:1].astype(np.float64), axes=(1, 2))
     good = []
-    for tag in ("prod", "vpu", "prod2"):
+    for tag in ("prod", "vpu", "vpu_wide", "prod2"):
         try:
             yr, yi = fns[tag](xv)
             err = np.max(np.abs(np.asarray(yr[:1]) + 1j * np.asarray(yi[:1])

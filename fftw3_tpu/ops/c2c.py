@@ -258,6 +258,31 @@ def build_c2c_split(desc: Dict, sign: int, rdtype) -> SplitApply:
 # one 1-D transform, in real operations.
 # ---------------------------------------------------------------------------
 
+def _vpu_stage_opcount(p: int) -> tuple:
+    """(real adds, real muls) of ONE size-p pure-f32 VPU DFT
+    (pallas_stockham._vpu_dft): radix-4 butterflies are 16 real adds per
+    4-point column (radix-2 tail: 4 per 2-point column); level twiddles
+    cost 4 mul + 2 add each EXCEPT the ones the builder snaps to
+    +-1/+-i (mirrors the snap test exactly)."""
+    import numpy as np
+
+    if p == 1:
+        return (0.0, 0.0)
+    r = 4 if p % 4 == 0 else 2
+    q = p // r
+    add = (16.0 if r == 4 else 4.0) * q
+    mul = 0.0
+    if q > 1:
+        for k1 in range(1, r):
+            for j2 in range(q):
+                w = np.exp(-2j * np.pi * ((j2 * k1) % p) / p)
+                if min(abs(w - e) for e in (1, -1, 1j, -1j)) >= 1e-12:
+                    mul += 4.0
+                    add += 2.0
+    ca, cm = _vpu_stage_opcount(q)
+    return (add + r * ca, mul + r * cm)
+
+
 def c2c_opcount(desc: Dict) -> Dict[str, float]:
     alg, n = desc["alg"], desc["n"]
     if alg == "nop" or n == 1:
@@ -292,12 +317,24 @@ def c2c_opcount(desc: Dict) -> Dict[str, float]:
         # EXACT counts of the stacked-G implementation: each stage is one
         # (2p, 2p) @ (2p, n/p) real contraction per transform -> 4*p*n
         # MACs, plus the complex twiddle (4 mul + 2 add per point) on
-        # every stage but the last
+        # every stage but the last.  A desc-pinned VPU final stage
+        # (desc["vpu"], pallas_stockham._vpu_dft) replaces the final
+        # contraction with radix-4/2 butterfly adds + the exact count of
+        # non-snapped level-twiddle cmuls.
+        from . import pallas_stockham
+
         total = {"add": 0.0, "mul": 0.0, "fma": 0.0}
         rest = n
-        for p in desc["radices"]:
+        last = len(desc["radices"]) - 1
+        for si, p in enumerate(desc["radices"]):
             q = rest // p
-            total["fma"] += 4.0 * p * n
+            if (si == last and desc.get("vpu")
+                    and pallas_stockham._vpu_last_ok(p, 1)):
+                a, m = _vpu_stage_opcount(p)
+                total["add"] += a * (n / p)
+                total["mul"] += m * (n / p)
+            else:
+                total["fma"] += 4.0 * p * n
             if q > 1:
                 total["mul"] += 4.0 * n
                 total["add"] += 2.0 * n

@@ -814,7 +814,9 @@ def build_pallas_c2c_split_inner(desc: Dict, sign: int, rdtype):
     else:
         interpret = False
     tl = INNER_TILE_L
-    vpu = config.pallas_vpu_last           # pin for fwd AND lazy adjoint
+    vpu = desc.get("vpu")                  # pin for fwd AND lazy adjoint;
+    if vpu is None:                        # desc overrides config default
+        vpu = config.pallas_vpu_last
     call = _make_call_inner(n, radices, sign, tl, interpret, vpu=vpu)
     adj_call = [None]
 
@@ -868,7 +870,13 @@ def build_pallas_c2c_split(desc: Dict, sign: int, rdtype):
         interpret = True
     else:
         interpret = False
-    vpu = config.pallas_vpu_last           # pin for fwd AND lazy adjoint
+    # variant pin for fwd AND lazy adjoint: an explicit desc["vpu"] (a
+    # wisdom entry recording the measured winner) overrides the config
+    # default — the descriptor is the unit of wisdom, so the solver
+    # variant must be serializable with it
+    vpu = desc.get("vpu")
+    if vpu is None:
+        vpu = config.pallas_vpu_last
     call = _make_call(n, radices, sign, tb, interpret, vpu=vpu)
     # VJP of an unnormalized DFT is the opposite-sign unnormalized DFT
     # (the real-split map [[A,-B],[B,A]] has transpose [[A,B],[-B,A]],

@@ -133,6 +133,10 @@ class Plan:
         #: Tunnel-friendly and avoids complex at the program boundary.
         self.apply_split = apply_split
         self._jitted = jax.jit(apply_fn)
+        #: multi-device execute path (the fftw/threads engine analog),
+        #: attached by make_plan when plan_with_nthreads(k>1) is active —
+        #: see parallel/smp.py.  apply/apply_split stay serial-pure.
+        self._par_fn: Optional[Callable] = None
 
     # -- execution (fftw_execute + new-array execute, fftw_api.c:428-487) --
     def __call__(self, x) -> jnp.ndarray:
@@ -143,6 +147,8 @@ class Plan:
         if tuple(x.shape) != self.in_shape:
             raise ValueError(
                 f"plan expects shape {self.in_shape}, got {x.shape}")
+        if self._par_fn is not None:
+            return self._par_fn(x)
         return self._jitted(x)
 
     @property
@@ -206,10 +212,18 @@ def make_plan(problem: Problem, flags: int = K.ESTIMATE,
         # by the api lock, so the temporary mode flag is safe.
         pl.wisdom_only = True
         try:
-            return _make_plan_inner(problem, flags, pl, patience)
+            plan = _make_plan_inner(problem, flags, pl, patience)
         finally:
             pl.wisdom_only = False
-    return _make_plan_inner(problem, flags, pl, patience)
+    else:
+        plan = _make_plan_inner(problem, flags, pl, patience)
+    from . import threads
+    if threads.planner_nthreads() > 1:
+        # fftw_plan_with_nthreads engine (parallel/smp.py): plans created
+        # under an nthreads hint execute over a local device mesh
+        from .parallel import smp
+        plan._par_fn = smp.parallel_executor(plan)
+    return plan
 
 
 def _make_plan_inner(problem: Problem, flags: int,

@@ -461,6 +461,16 @@ class Planner:
                 for rad in pallas_stockham.alternative_radices(n, width):
                     if rad != default_rad:
                         out.append({"alg": "pallas", "n": n, "radices": rad})
+                # VPU-final-stage variants (desc-pinned, see
+                # config.pallas_vpu_last): race the OPPOSITE of the
+                # config default for every pallas schedule whose final
+                # radix the VPU gate admits.  MEASURE-only — the ESTIMATE
+                # tier (and its native C++ mirror, which this gate keeps
+                # policy-identical) never emits them.
+                for cand in [c for c in out if c["alg"] == "pallas"]:
+                    if pallas_stockham._vpu_last_ok(cand["radices"][-1], 1):
+                        out.append({**cand,
+                                    "vpu": not config.pallas_vpu_last})
         if pallas_stockham.fourstep_applicable(n, rdtype):
             fp, fq = pallas_stockham.choose_fourstep(n)
             out.append({"alg": "pallas4", "n": n, "p": fp, "q": fq})
@@ -807,7 +817,8 @@ def sprint_desc(desc: Dict) -> str:
     if alg == "mixed":
         return f"(mixed-{desc['p']}/{n} {sprint_desc(desc['child'])})"
     if alg == "pallas":
-        return f"(pallas-{n} r{'x'.join(map(str, desc['radices']))})"
+        v = {True: " vpu", False: " mxu"}.get(desc.get("vpu"), "")
+        return f"(pallas-{n} r{'x'.join(map(str, desc['radices']))}{v})"
     if alg == "pallas4":
         return f"(pallas4-{desc['p']}x{desc['q']})"
     if alg in ("pallas_r2c", "pallas_c2r"):

@@ -1,13 +1,16 @@
-"""SMP-threads API parity shims (``fftw/threads/api.c`` analog).
+"""SMP-threads API (``fftw/threads/api.c`` analog).
 
 FFTW's threads layer (reference ``fftw/threads/``, SURVEY.md §2.8) adds a
-worker pool plus solvers that shard batch loops across threads.  On TPU,
-intra-chip parallelism is owned by XLA (grid parallelism inside kernels,
-vectorized batching), so these functions keep the *API contract* — user code
-calling ``fftw_init_threads``/``fftw_plan_with_nthreads`` translates 1:1 —
-while the requested thread count maps onto the only meaningful knob: it is
-recorded and exposed so distributed planners may use it as a per-host
-device-count hint.
+worker pool plus solvers that shard loop ranges across threads.  The
+TPU-native worker pool is the host's set of locally-attached devices:
+``plan_with_nthreads(k)`` makes every subsequently created plan execute
+over a k-device mesh (see :mod:`fftw3_tpu.parallel.smp` — vector loops
+shard with zero collectives, all-axes rank>=2 problems run the slab
+solvers, rank-1 the six-step).  Within ONE chip, parallelism is owned by
+XLA (kernel grids, vectorized batching), so ``nthreads`` counts devices,
+not threads; with a single device plans stay serial, exactly like FFTW
+with one worker.  The hint also feeds the distributed planners'
+``overlap_chunks`` pipeline depth (parallel/dist.py).
 
 ``make_planner_thread_safe`` is real: the planner mutates shared wisdom, so
 plan creation takes a lock (the public API already serializes through
@@ -29,9 +32,10 @@ def init_threads() -> int:
 
 
 def plan_with_nthreads(n: int) -> None:
-    """fftw_plan_with_nthreads analog (threads/api.c:69-80): records the
-    requested parallelism.  XLA owns single-chip parallelism, so n has no
-    single-chip effect; distributed planners may read it as a hint."""
+    """fftw_plan_with_nthreads analog (threads/api.c:69-80): subsequent
+    plans execute over min(n, local device count) devices — see
+    parallel/smp.py for how each problem class splits.  n=1 restores
+    serial planning."""
     global _nthreads
     if n < 1:
         raise ValueError("nthreads must be >= 1")

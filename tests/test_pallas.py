@@ -278,3 +278,34 @@ class TestVpuLastStage:
         # Parseval: d/dx sum |F x|^2 = 2 n x for real x
         assert np.allclose(np.asarray(g), 2 * 256 * np.asarray(x),
                            rtol=1e-4, atol=1e-2)
+
+
+def test_desc_pins_vpu_variant_over_config():
+    """desc["vpu"] overrides config.pallas_vpu_last at build time: a
+    wisdom entry recording a measured winner must reproduce that variant
+    regardless of the global default (bench autotune relies on this), and
+    the planner must serve such a desc through validate_desc."""
+    from fftw3_tpu import planner as planner_mod
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((4, 1024)).astype(np.float32)
+    y = rng.standard_normal((4, 1024)).astype(np.float32)
+    ref = np.fft.fft((x + 1j * y).astype(np.complex128), axis=1)
+    assert config.pallas_vpu_last is False
+    desc = {"alg": "pallas", "n": 1024, "radices": [64, 16],
+            "tile_b": 128, "vpu": True}
+    assert planner_mod.validate_desc("c2c", 1024, desc)
+    fn = jax.jit(PS.build_pallas_c2c_split(desc, -1, np.float32))
+    yr, yi = fn(x, y)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-4
+    # desc-pinned OFF under a True global default: also honored
+    config.pallas_vpu_last = True
+    try:
+        fn2 = jax.jit(PS.build_pallas_c2c_split(
+            {**desc, "vpu": False}, -1, np.float32))
+    finally:
+        config.pallas_vpu_last = False
+    yr2, yi2 = fn2(x, y)
+    got2 = np.asarray(yr2) + 1j * np.asarray(yi2)
+    assert np.max(np.abs(got2 - ref)) / np.max(np.abs(ref)) < 1e-4

@@ -265,3 +265,72 @@ class TestDhtRader:
             assert ftpu.import_wisdom_from_string(s)
         finally:
             the_planner.forget_wisdom()
+
+
+class TestVpuMeasureCandidates:
+    """The VPU-final-stage variant is a real planner candidate: emitted at
+    MEASURE+ patience as a desc-pinned copy of each admissible pallas
+    schedule (opposite of the config default), never at ESTIMATE (the
+    native C++ tier mirrors the ESTIMATE policy and must stay identical)."""
+
+    def test_measure_set_contains_vpu_variant(self, interpret_pallas):
+        pl = Planner()
+        cands = pl._candidates("c2c", 1024, np.float32, K.PATIENCE_MEASURE)
+        vpu = [c for c in cands if c.get("vpu") is True]
+        assert vpu, cands
+        assert all(c["alg"] == "pallas" for c in vpu)
+        # pow2-<=64 final radix only (the _vpu_last_ok gate)
+        for c in vpu:
+            p = c["radices"][-1]
+            assert p <= 64 and (p & (p - 1)) == 0
+
+    def test_estimate_set_has_none(self, interpret_pallas):
+        pl = Planner()
+        cands = pl._candidates("c2c", 1024, np.float32,
+                               K.PATIENCE_ESTIMATE)
+        assert not any("vpu" in c for c in cands)
+
+    def test_measure_can_pick_and_serve_vpu(self, interpret_pallas,
+                                            hysteresis):
+        """With full measurement trust, a rigged timer that favors the vpu
+        variant must make MEASURE select it, wisdom must serve it back,
+        and the built plan must stay correct."""
+        import fftw3_tpu.planner as pm
+        from fftw3_tpu.planner import build_apply
+
+        config.measure_hysteresis = 1.0
+        pl = Planner()
+        state = {"current": None}
+        orig_measure_fn = pm._measure_fn
+
+        def tracking_measure_fn(kind, desc, n, rdtype, batch=None):
+            state["current"] = desc
+            return orig_measure_fn(kind, desc, n, rdtype, batch)
+
+        real_timer = timing_mod.time_chained
+
+        def rigged_timer(fn, args, **kw):
+            real_timer(fn, args, k1=1, k2=2, reps=1)   # still execute
+            return 0.001 if state["current"].get("vpu") else 1.0
+
+        try:
+            pm._measure_fn = tracking_measure_fn
+            timing_mod.time_chained = rigged_timer
+            desc = pl.plan_c2c(1024, np.float32, K.PATIENCE_MEASURE,
+                               batch=8)
+        finally:
+            pm._measure_fn = orig_measure_fn
+            timing_mod.time_chained = real_timer
+        assert desc.get("vpu") is True, desc
+        # wisdom round trip serves the pinned variant
+        again = pl.plan_c2c(1024, np.float32, K.PATIENCE_MEASURE, batch=8)
+        assert again.get("vpu") is True
+        # and the built plan is correct
+        fn = build_apply("c2c", desc, np.float32)
+        rng = np.random.default_rng(0)
+        x = (rng.standard_normal((4, 1024))
+             + 1j * rng.standard_normal((4, 1024))).astype(np.complex64)
+        y = np.asarray(fn(x))
+        ref = np.fft.fft(x.astype(np.complex128), axis=1)
+        err = np.max(np.abs(y - ref)) / np.max(np.abs(ref))
+        assert err < 1e-3
