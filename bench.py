@@ -151,8 +151,9 @@ def bench_r2c_2d(n: int, batch: int = 8):
     flag0, np_max0 = config.pallas_vpu_last, ps.INNER_NP_MAX
     arms = [("prod", flag0, np_max0)]
     if jax.default_backend() == "tpu":
-        if not flag0:
-            arms.append(("vpu", True, np_max0))
+        for tag, f in (("vpu", True), ("vpuall", "all")):
+            if f != flag0:
+                arms.append((tag, f, np_max0))
         arms.append(("vpu_wide", True, max(np_max0, n * 128)))
     cand = []
     for tag, flag, np_max in arms:
@@ -298,18 +299,20 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
     only interleaved marginal slopes are decision-grade through the
     tunnel).  Arms:
 
-    * prod  — current default (bf16 hi/lo MXU final stage)
-    * vpu   — ``config.pallas_vpu_last``: final Stockham stage as pure-f32
-      VPU radix-4/2 butterflies (the round-3 ablation attributed ~38 of
-      ~52 ps/pt to the precision machinery this arm deletes)
-    * vpu+alt-radix — the re-sweep: a free-ish final stage may move the
-      radix optimum (e.g. [32,32] vs [64,16] at n=1024)
+    * prod   — current default (bf16 hi/lo MXU stages)
+    * vpu    — final Stockham stage as pure-f32 VPU radix-4/2 butterflies
+      (the round-3 ablation attributed ~38 of ~52 ps/pt to the precision
+      machinery this arm partially deletes)
+    * vpuall — EVERY stage as VPU butterflies (no MXU matmul, no bf16
+      cast anywhere; eligible when all radices are powers of two <= 64)
+    * alt-radix variants — the re-sweep: free-ish VPU stages may move
+      the radix optimum (e.g. [32,32] vs [64,16] at n=1024)
 
     Every arm is verified against a float64 oracle before timing; any
     failure drops the arm.  The winner sets ``config.pallas_vpu_last``
-    and (for an alt radix) injects a wisdom entry at the headline batch
-    bucket, so the real benchmark below plans straight onto it.  The
-    whole pass is advisory: exceptions leave the defaults untouched.
+    and injects a desc-pinned wisdom entry at the headline batch bucket,
+    so the real benchmark below plans straight onto it.  The whole pass
+    is advisory: exceptions leave the defaults untouched.
     """
     import jax
     import jax.numpy as jnp
@@ -320,24 +323,30 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
 
     if jax.default_backend() != "tpu":
         return
+
+    def _all_ok(rad):
+        return all(r <= 64 and (r & (r - 1)) == 0 for r in rad)
+
     rad0 = ps.choose_radices(n)
     arms = [("prod", False, rad0), ("vpu", True, rad0)]
-    for alt in ps.alternative_radices(n, k=4):
-        if (alt != rad0 and len(alt) == 2 and alt[1] <= 64
-                and (alt[1] & (alt[1] - 1)) == 0 and len(arms) < 4):
+    if _all_ok(rad0):
+        arms.append(("vpuall", "all", rad0))
+    for alt in ps.alternative_radices(n, k=6):
+        if alt == rad0 or len(alt) != 2 or len(arms) >= 6:
+            continue
+        if _all_ok(alt):
+            arms.append((f"vpuall{alt}", "all", alt))
+        elif alt[1] <= 64 and (alt[1] & (alt[1] - 1)) == 0:
             arms.append((f"vpu{alt}", True, alt))
     fns = {}
     for tag, flag, rad in arms:
-        config.pallas_vpu_last = flag
         try:
             fns[tag] = jax.jit(ps.build_pallas_c2c_split(
                 {"alg": "pallas", "n": n, "radices": list(rad),
-                 "tile_b": ps.tile_for(n)}, -1, np.float32))
+                 "tile_b": ps.tile_for(n), "vpu": flag}, -1, np.float32))
         except Exception as exc:                       # noqa: BLE001
             print(f"# autotune {tag}: build FAIL {str(exc)[:100]}",
                   file=sys.stderr)
-        finally:
-            config.pallas_vpu_last = False
 
     rng = np.random.default_rng(7)
     vr = rng.standard_normal((256, n)).astype(np.float32)
@@ -413,13 +422,14 @@ def _autotune_4096(batch: int = 4096) -> None:
     fns = {"pallas4": jax.jit(ps.build_pallas_c2c_split_fourstep(
         {"alg": "pallas4", "n": n, "p": p4, "q": q4}, -1, np.float32))}
     rads = {}
-    for rad in ([128, 32], [64, 64]):
-        tag = f"single{rad}"
+    for rad, vpu in (([128, 32], True), ([64, 64], True),
+                     ([64, 64], "all")):
+        tag = f"single{rad}{'all' if vpu == 'all' else ''}"
         try:
             fns[tag] = jax.jit(ps.build_pallas_c2c_split(
                 {"alg": "pallas", "n": n, "radices": rad, "tile_b": 128,
-                 "vpu": True}, -1, np.float32))
-            rads[tag] = rad
+                 "vpu": vpu}, -1, np.float32))
+            rads[tag] = (rad, vpu)
         except Exception as exc:                       # noqa: BLE001
             print(f"# autotune4096 {tag}: build FAIL {str(exc)[:100]}",
                   file=sys.stderr)
@@ -461,10 +471,11 @@ def _autotune_4096(batch: int = 4096) -> None:
         print("# autotune4096: keeping pallas4", file=sys.stderr)
         return
     from fftw3_tpu.planner import the_planner
+    rad, vpu = rads[best_tag]
     key = the_planner._key("c2c", n, np.float32, batch)
     the_planner.wisdom[key] = {
-        "desc": {"alg": "pallas", "n": n, "radices": rads[best_tag],
-                 "tile_b": 128, "vpu": True},
+        "desc": {"alg": "pallas", "n": n, "radices": rad,
+                 "tile_b": 128, "vpu": vpu},
         "patience": 99, "cost": 0.0}
     print(f"# autotune4096: selected {best_tag}", file=sys.stderr)
 

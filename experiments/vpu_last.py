@@ -38,14 +38,12 @@ def bench_4096(rng, interp):
     p4, q4 = ps.choose_fourstep(n)
     fns["pallas4"] = jax.jit(ps.build_pallas_c2c_split_fourstep(
         {"alg": "pallas4", "n": n, "p": p4, "q": q4}, -1, np.float32))
-    for rad in ([128, 32], [64, 64]):
-        config.pallas_vpu_last = True
-        try:
-            fns[f"single{rad}"] = jax.jit(ps.build_pallas_c2c_split(
-                {"alg": "pallas", "n": n, "radices": rad, "tile_b": 128},
-                -1, np.float32))
-        finally:
-            config.pallas_vpu_last = False
+    for rad, vpu in (([128, 32], True), ([64, 64], True),
+                     ([64, 64], "all")):
+        tag = f"single{rad}{'all' if vpu == 'all' else ''}"
+        fns[tag] = jax.jit(ps.build_pallas_c2c_split(
+            {"alg": "pallas", "n": n, "radices": rad, "tile_b": 128,
+             "vpu": vpu}, -1, np.float32))
 
     vr = rng.standard_normal((256, n)).astype(np.float32)
     vi = rng.standard_normal((256, n)).astype(np.float32)
@@ -95,23 +93,30 @@ def main():
             bench_4096(rng, interp)
             continue
         rad = ps.choose_radices(n)
-        desc = {"alg": "pallas", "n": n, "radices": rad, "tile_b": 128}
         fns = {}
-        for tag, flag in [("prod", False), ("vpu", True), ("prod2", False)]:
-            config.pallas_vpu_last = flag
-            fns[tag] = jax.jit(ps.build_pallas_c2c_split(
-                dict(desc), -1, np.float32))
-        # radix re-sweep under the VPU stage: the measured stage-cost
-        # curves were fit with MXU finals; a free-ish final stage may
-        # move the optimum (e.g. [32,32] vs [64,16] at n=1024)
-        config.pallas_vpu_last = True
+
+        def _all_ok(r):
+            return all(x <= 64 and (x & (x - 1)) == 0 for x in r)
+
+        def mk(radices, vpu):
+            return jax.jit(ps.build_pallas_c2c_split(
+                {"alg": "pallas", "n": n, "radices": list(radices),
+                 "tile_b": 128, "vpu": vpu}, -1, np.float32))
+        fns["prod"] = mk(rad, False)
+        fns["vpu"] = mk(rad, True)
+        if _all_ok(rad):
+            fns["vpuall"] = mk(rad, "all")
+        # radix re-sweep under the VPU stages: the measured stage-cost
+        # curves were fit with MXU finals; free-ish VPU stages may move
+        # the optimum (e.g. [32,32] vs [64,16] at n=1024)
         for alt in ps.alternative_radices(n, k=4):
-            if alt != rad and len(alt) == 2 and alt[1] <= 64 \
-                    and (alt[1] & (alt[1] - 1)) == 0:
-                fns[f"vpu{alt}"] = jax.jit(ps.build_pallas_c2c_split(
-                    {"alg": "pallas", "n": n, "radices": alt,
-                     "tile_b": 128}, -1, np.float32))
-        config.pallas_vpu_last = False
+            if alt == rad or len(alt) != 2:
+                continue
+            if _all_ok(alt):
+                fns[f"vpuall{alt}"] = mk(alt, "all")
+            elif alt[1] <= 64 and (alt[1] & (alt[1] - 1)) == 0:
+                fns[f"vpu{alt}"] = mk(alt, True)
+        fns["prod2"] = mk(rad, False)
 
         # verify every variant on chip first (drop any that fails:
         # a VMEM overflow or miscompile must not kill the A/B)

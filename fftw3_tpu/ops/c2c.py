@@ -326,9 +326,10 @@ def c2c_opcount(desc: Dict) -> Dict[str, float]:
         total = {"add": 0.0, "mul": 0.0, "fma": 0.0}
         rest = n
         last = len(desc["radices"]) - 1
+        vpu = desc.get("vpu")
         for si, p in enumerate(desc["radices"]):
             q = rest // p
-            if (si == last and desc.get("vpu")
+            if (vpu and (si == last or vpu == "all")
                     and pallas_stockham._vpu_last_ok(p, 1)):
                 a, m = _vpu_stage_opcount(p)
                 total["add"] += a * (n / p)

@@ -358,6 +358,18 @@ def _vpu_last_ok(p: int, sign: int) -> bool:
     return sign != 0 and p <= 64 and (p & (p - 1)) == 0
 
 
+def _vpu_sign(sign: int, vpu) -> int:
+    """Encode the VPU-stage variant into the kernel ``sign`` channel:
+    0 = MXU everywhere, +-1 = final stage as VPU butterflies
+    (``vpu is True``), +-2 = EVERY eligible stage as VPU butterflies
+    (``vpu == "all"`` — no G matmul, no bf16 hi/lo casts anywhere the
+    radix is a power of two <= 64).  One channel so the variant threads
+    through every kernel partial unchanged."""
+    if not vpu:
+        return 0
+    return sign * (2 if vpu == "all" else 1)
+
+
 def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0, sign=0):
     """Shared Stockham stage loop on (n, TB) values (transform index in
     major/sublane dims, TB lanes).  ``tw_lanes == tb`` selects the flat
@@ -371,6 +383,11 @@ def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0, sign=0):
     done = 1
     rest = n
     ci = 0
+    # sign channel: 0 = MXU stages; +-1 = final stage VPU; +-2 = every
+    # eligible stage VPU (see _vpu_sign).  tsign is the TRANSFORM sign
+    # the butterfly twiddles need.
+    vpu_all = abs(sign) == 2
+    tsign = 0 if sign == 0 else (1 if sign > 0 else -1)
     # ai=None: REAL input (the r2c kernels) — the first stage contracts
     # only the left (p-column) block of G, halving its MXU work instead
     # of multiplying a zero imaginary plane
@@ -378,28 +395,34 @@ def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0, sign=0):
         else jnp.concatenate([ar[None], ai[None]], 0)  # (2, n, TB)
     for si, p in enumerate(radices):
         q = rest // p
-        if q == 1 and st.shape[0] == 2 and _vpu_last_ok(p, sign):
-            # final stage as pure-f32 VPU butterflies (no G matmul, no
-            # hi/lo casts); crefs hold the unused G — skip it
-            ci += 1
-            yr, yi = _vpu_dft(st[0].reshape(p, done * tb),
-                              st[1].reshape(p, done * tb), p, sign)
-            st = jnp.concatenate([yr.reshape(1, p * done, tb),
-                                  yi.reshape(1, p * done, tb)], 0)
-            done *= p
-            rest = q
-            continue
-        G = crefs[ci][...]
-        ci += 1
-        # contraction over (c, j1): the (2, p, ...) major pair merges to
-        # rows of ONE 2-D matmul on (2p, q*done*TB)
         M = q * done * tb
-        if st.shape[0] == 1:
-            y = _gmm(G[:, :p], st.reshape(p, M),
-                     k2=(2 * p * M <= K2_MAX_BYTES))
+        if (st.shape[0] == 2 and _vpu_last_ok(p, sign)
+                and (q == 1 or vpu_all)):
+            # stage as pure-f32 VPU butterflies (no G matmul, no hi/lo
+            # casts); crefs hold the unused G — skip it.  The (p, M)
+            # view matches the matmul's contraction layout exactly, so
+            # the twiddle/permute code below is shared.
+            ci += 1
+            st2 = st.reshape(2, p, M)
+            yr, yi = _vpu_dft(st2[0], st2[1], p, tsign)
+            if q == 1:
+                st = jnp.concatenate([yr.reshape(1, p * done, tb),
+                                      yi.reshape(1, p * done, tb)], 0)
+                done *= p
+                rest = q
+                continue
+            y = jnp.concatenate([yr, yi], 0)          # (2p, M)
         else:
-            y = _gmm(G, st.reshape(2 * p, M),
-                     k2=(4 * p * M <= K2_MAX_BYTES))
+            G = crefs[ci][...]
+            ci += 1
+            # contraction over (c, j1): the (2, p, ...) major pair merges
+            # to rows of ONE 2-D matmul on (2p, q*done*TB)
+            if st.shape[0] == 1:
+                y = _gmm(G[:, :p], st.reshape(p, M),
+                         k2=(2 * p * M <= K2_MAX_BYTES))
+            else:
+                y = _gmm(G, st.reshape(2 * p, M),
+                         k2=(4 * p * M <= K2_MAX_BYTES))
         if q > 1:
             if done == 1 and tw_lanes == tb:
                 # flat twiddle on the 2-D matmul-output view (no
@@ -537,7 +560,7 @@ def _make_call(n: int, radices: Sequence[int], sign: int, tb: int,
     if vpu is None:
         vpu = config.pallas_vpu_last       # build-time snapshot
     kernel = partial(_kernel, tuple(radices), n, tb, pretwiddle_p,
-                     tw_lanes, store_kp, sign if vpu else 0)
+                     tw_lanes, store_kp, _vpu_sign(sign, vpu))
 
     data_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -617,7 +640,7 @@ def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
 
     if vpu is None:
         vpu = config.pallas_vpu_last       # build-time snapshot
-    vsign = sign if vpu else 0
+    vsign = _vpu_sign(sign, vpu)
 
     def make_fn(pre, L):
         # budget an (n x lanes) working set ~ the 1-D kernel's: first widen
@@ -716,7 +739,7 @@ def _make_call_2d(n1: int, n2: int, rad1, rad2, sign: int, interpret: bool,
     if vpu is None:
         vpu = config.pallas_vpu_last       # build-time snapshot
     kernel = partial(_kernel_2d, tuple(rad1), tuple(rad2), n1, n2, tw1, tw2,
-                     sign if vpu else 0)
+                     _vpu_sign(sign, vpu))
 
     data_spec = pl.BlockSpec((1, n1, n2), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -965,7 +988,7 @@ def _make_call_r2c(n: int, radices, tb: int, interpret: bool):
                    np.ascontiguousarray(w.imag, np.float32).reshape(m + 1, 1)]
     flat_consts += [c for stage in consts for c in stage]
     kernel = partial(_kernel_r2c, tuple(radices), n, tb, tw_lanes,
-                     -1 if config.pallas_vpu_last else 0)
+                     _vpu_sign(-1, config.pallas_vpu_last))
 
     in_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -1079,7 +1102,7 @@ def _make_call_c2r(n: int, radices, tb: int, interpret: bool):
                    np.ascontiguousarray(v.imag, np.float32).reshape(m, 1)]
     flat_consts += [c for stage in consts for c in stage]
     kernel = partial(_kernel_c2r, tuple(radices), n, tb, tw_lanes,
-                     +1 if config.pallas_vpu_last else 0)
+                     _vpu_sign(+1, config.pallas_vpu_last))
 
     in_spec = pl.BlockSpec((tb, m + 1), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)

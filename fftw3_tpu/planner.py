@@ -471,6 +471,11 @@ class Planner:
                     if pallas_stockham._vpu_last_ok(cand["radices"][-1], 1):
                         out.append({**cand,
                                     "vpu": not config.pallas_vpu_last})
+                    # all-stages VPU variant: every radix eligible -> no
+                    # MXU matmul or bf16 cast anywhere in the kernel
+                    if all(pallas_stockham._vpu_last_ok(r, 1)
+                           for r in cand["radices"]):
+                        out.append({**cand, "vpu": "all"})
         if pallas_stockham.fourstep_applicable(n, rdtype):
             fp, fq = pallas_stockham.choose_fourstep(n)
             out.append({"alg": "pallas4", "n": n, "p": fp, "q": fq})
@@ -817,7 +822,8 @@ def sprint_desc(desc: Dict) -> str:
     if alg == "mixed":
         return f"(mixed-{desc['p']}/{n} {sprint_desc(desc['child'])})"
     if alg == "pallas":
-        v = {True: " vpu", False: " mxu"}.get(desc.get("vpu"), "")
+        v = {True: " vpu", False: " mxu",
+             "all": " vpuall"}.get(desc.get("vpu"), "")
         return f"(pallas-{n} r{'x'.join(map(str, desc['radices']))}{v})"
     if alg == "pallas4":
         return f"(pallas4-{desc['p']}x{desc['q']})"

@@ -309,3 +309,142 @@ def test_desc_pins_vpu_variant_over_config():
     yr2, yi2 = fn2(x, y)
     got2 = np.asarray(yr2) + 1j * np.asarray(yi2)
     assert np.max(np.abs(got2 - ref)) / np.max(np.abs(ref)) < 1e-4
+
+
+class TestVpuAllStages:
+    """desc["vpu"] == "all": EVERY eligible stage (radix a power of two
+    <= 64) as pure-f32 VPU butterflies — no MXU matmul and no bf16 hi/lo
+    cast anywhere in the kernel.  The round-3 ablation attributed ~38 of
+    ~52 ps/pt to the precision machinery this variant deletes; the bench
+    autotune races it on-chip.  Accuracy is BETTER than the MXU path
+    (pure f32 adds vs bf16x3)."""
+
+    @pytest.mark.parametrize("n,rad", [(1024, [64, 16]), (1024, [32, 32]),
+                                       (512, [32, 16]), (256, [16, 16]),
+                                       (2048, [64, 32])])
+    def test_1d_both_signs(self, n, rad):
+        for sign in (-1, +1):
+            rng = np.random.default_rng(0)
+            x = (rng.standard_normal((9, n))
+                 + 1j * rng.standard_normal((9, n)))
+            fn = PS.build_pallas_c2c_split(
+                {"alg": "pallas", "n": n, "radices": rad, "tile_b": 128,
+                 "vpu": "all"}, sign, np.float32)
+            yr, yi = jax.jit(fn)(jnp.asarray(x.real, jnp.float32),
+                                 jnp.asarray(x.imag, jnp.float32))
+            got = np.asarray(yr) + 1j * np.asarray(yi)
+            ref = np.fft.fft(x, axis=1) if sign < 0 \
+                else np.fft.ifft(x, axis=1) * n
+            err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+            # pure-f32 butterflies: tighter than the bf16 contract
+            assert err < 1e-5, (n, rad, sign, err)
+
+    def test_ineligible_radix_stays_mxu(self):
+        """p=128 > 64: that stage keeps the G matmul; the kernel is a
+        correct MXU/VPU hybrid."""
+        _run(2048, [128, 16])
+
+    def test_partial_override_vs_true(self):
+        """"all" and True differ: at [32, 32] the first stage is VPU only
+        under "all" (check by accuracy signature: full-VPU is ~1e-7,
+        final-only keeps the first stage's bf16 error ~5e-6)."""
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((4, 1024)).astype(np.float32)
+        y = rng.standard_normal((4, 1024)).astype(np.float32)
+        ref = np.fft.fft((x + 1j * y).astype(np.complex128), axis=1)
+
+        def err_for(vpu):
+            fn = jax.jit(PS.build_pallas_c2c_split(
+                {"alg": "pallas", "n": 1024, "radices": [32, 32],
+                 "tile_b": 128, "vpu": vpu}, -1, np.float32))
+            yr, yi = fn(x, y)
+            got = np.asarray(yr) + 1j * np.asarray(yi)
+            return np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+
+        e_all, e_last = err_for("all"), err_for(True)
+        assert e_all < 1e-6 < e_last < 1e-4
+
+    def test_config_all_reaches_every_kernel_form(self):
+        """config.pallas_vpu_last = "all" flows through the inner, 2-D,
+        r2c, c2r and four-step builders (they snapshot the config)."""
+        old = config.pallas_vpu_last
+        config.pallas_vpu_last = "all"
+        try:
+            rng = np.random.default_rng(2)
+            # axis -2 form
+            fn = jax.jit(PS.build_pallas_c2c_split_inner(
+                {"alg": "pallas", "n": 256, "radices": [16, 16]},
+                -1, np.float32))
+            xr = rng.standard_normal((2, 256, 256)).astype(np.float32)
+            xi = rng.standard_normal((2, 256, 256)).astype(np.float32)
+            yr, yi = fn(xr, xi)
+            ref = np.fft.fft((xr + 1j * xi).astype(np.complex128), axis=1)
+            assert np.max(np.abs(np.asarray(yr) + 1j * np.asarray(yi)
+                                 - ref)) / np.max(np.abs(ref)) < 1e-4
+            # fused r2c -> c2r roundtrip
+            x = rng.standard_normal((8, 512)).astype(np.float32)
+            X = jax.jit(PS.build_pallas_r2c(
+                {"alg": "pallas_r2c", "n": 512}, np.float32))(x)
+            ref2 = np.fft.rfft(x.astype(np.float64), axis=-1)
+            assert np.max(np.abs(np.asarray(X) - ref2)) \
+                / np.max(np.abs(ref2)) < 1e-4
+            y = np.asarray(jax.jit(PS.build_pallas_c2r(
+                {"alg": "pallas_c2r", "n": 512}, np.float32))(X)) / 512.0
+            assert np.max(np.abs(y - x)) < 1e-4
+            # four-step
+            f4 = jax.jit(PS.build_pallas_c2c_split_fourstep(
+                {"alg": "pallas4", "n": 4096, "p": 64, "q": 64},
+                -1, np.float32))
+            xr = rng.standard_normal((2, 4096)).astype(np.float32)
+            xi = rng.standard_normal((2, 4096)).astype(np.float32)
+            yr, yi = f4(xr, xi)
+            ref3 = np.fft.fft((xr + 1j * xi).astype(np.complex128), axis=1)
+            assert np.max(np.abs(np.asarray(yr) + 1j * np.asarray(yi)
+                                 - ref3)) / np.max(np.abs(ref3)) < 1e-4
+        finally:
+            config.pallas_vpu_last = old
+
+    def test_gradients(self):
+        """Custom VJP with the all-VPU kernel (adjoint pins the variant)."""
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((2, 256)), jnp.float32)
+        fn = PS.build_pallas_c2c_split(
+            {"alg": "pallas", "n": 256, "radices": [16, 16],
+             "tile_b": 128, "vpu": "all"}, -1, np.float32)
+
+        def loss(a):
+            yr, yi = fn(a, jnp.zeros_like(a))
+            return jnp.sum(yr ** 2 + yi ** 2)
+
+        g = jax.grad(loss)(x)
+        assert np.allclose(np.asarray(g), 2 * 256 * np.asarray(x),
+                           rtol=1e-4, atol=1e-2)
+
+    def test_planner_races_vpuall_in_measure(self):
+        """MEASURE-tier candidate sets include the {"vpu": "all"} variant
+        for all-eligible schedules, and validate_desc accepts it."""
+        from fftw3_tpu import kinds as K
+        from fftw3_tpu import planner as planner_mod
+
+        cands = planner_mod.the_planner._candidates_c2c(
+            1024, np.float32, K.PATIENCE_MEASURE, None)
+        alls = [c for c in cands
+                if c.get("alg") == "pallas" and c.get("vpu") == "all"]
+        assert alls, "no vpu=all candidate at MEASURE patience"
+        for c in alls:
+            assert planner_mod.validate_desc("c2c", 1024, c)
+            assert all(r <= 64 and (r & (r - 1)) == 0
+                       for r in c["radices"])
+
+    def test_opcount_vpuall(self):
+        """flops() accounting mirrors the implementation: the all-variant
+        replaces EVERY eligible stage's 4pn MACs with butterfly adds."""
+        from fftw3_tpu.ops.c2c import c2c_opcount
+
+        base = {"alg": "pallas", "n": 1024, "radices": [64, 16]}
+        mxu = c2c_opcount(base)
+        last = c2c_opcount({**base, "vpu": True})
+        alls = c2c_opcount({**base, "vpu": "all"})
+        # each step off the MXU strictly cuts fma and adds VPU add/mul
+        assert alls["fma"] == 0.0 < last["fma"] < mxu["fma"]
+        assert alls["add"] > last["add"] > mxu["add"]
