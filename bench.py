@@ -269,6 +269,7 @@ def _with_retries(fn, attempts: int = 3):
                   f"{str(exc).splitlines()[0][:120]}", file=sys.stderr)
             time.sleep(2.0)
     if config.pallas_vpu_last:
+        saved_vpu = config.pallas_vpu_last             # True or "all"
         config.pallas_vpu_last = False
         fftpu_forget()
         try:
@@ -277,7 +278,7 @@ def _with_retries(fn, attempts: int = 3):
             print(f"# bench vpu-off fallback failed: "
                   f"{str(exc).splitlines()[0][:120]}", file=sys.stderr)
         finally:
-            config.pallas_vpu_last = True
+            config.pallas_vpu_last = saved_vpu
     config.pallas_mode = "off"
     fftpu_forget()
     try:

@@ -36,6 +36,7 @@ def main():
     # compile failure here is expected-possible and just drops the arm.
     for tag, flag, np_max in [("prod", False, np_max0),
                               ("vpu", True, np_max0),
+                              ("vpuall", "all", np_max0),
                               ("vpu_wide", True, n * 128),
                               ("prod2", False, np_max0)]:
         config.pallas_vpu_last = flag
@@ -60,7 +61,7 @@ def main():
     xv = rng.standard_normal((b, n, n)).astype(np.float32)
     ref = np.fft.rfftn(xv[:1].astype(np.float64), axes=(1, 2))
     good = []
-    for tag in ("prod", "vpu", "vpu_wide", "prod2"):
+    for tag in ("prod", "vpu", "vpuall", "vpu_wide", "prod2"):
         try:
             yr, yi = fns[tag](xv)
             err = np.max(np.abs(np.asarray(yr[:1]) + 1j * np.asarray(yi[:1])
