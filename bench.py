@@ -105,27 +105,89 @@ def bench_c2c_1d(n: int, batch: int, dtype="complex64"):
 
 
 def bench_c2c_3d(n: int):
+    """3-D c2c with an in-bench A/B: prod vs a [16,16]-vpuall axis
+    schedule injected through wisdom (at n=256 the planner's single-stage
+    [256] is MXU-only — p=256 exceeds the VPU gate — so the pure-f32
+    variant needs the two-stage split; the fused-2D builder honors
+    desc-carried radices/vpu).  Each arm verified before timing."""
     import jax
     import jax.numpy as jnp
 
     import fftw3_tpu as ftpu
 
-    plan = ftpu.plan_dft((n, n, n), dtype="complex64")
     rng = np.random.default_rng(0)
-    run = jax.jit(plan.apply_split)
-
     xr = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
     xi = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
-    yr, yi = run(xr, xi)
     ref = np.fft.fftn((np.asarray(xr) + 1j * np.asarray(xi))
                       .astype(np.complex128))
-    relerr = _check(_relerr(np.asarray(yr) + 1j * np.asarray(yi), ref),
-                    f"c2c 3d {n}^3")
+
+    def inject_vpuall():
+        from fftw3_tpu.planner import the_planner
+        if n & (n - 1) or not (64 <= n <= 4096):
+            raise ValueError("no all-eligible split")
+        h = 1 << ((n.bit_length() - 1) // 2)     # ~sqrt split, both pow2
+        rad = [n // h, h]
+        if any(r > 64 for r in rad):
+            rad = [64, n // 64] if n // 64 <= 64 else None
+        if rad is None:
+            raise ValueError("no all-eligible split")
+        desc = {"alg": "pallas", "n": n, "radices": rad, "tile_b": 128,
+                "vpu": "all"}
+        for b in (n * n, n):                     # per-axis vector sizes
+            the_planner.wisdom[the_planner._key(
+                "c2c", n, np.float32, b)] = {
+                "desc": dict(desc), "patience": 99, "cost": 0.0}
+
+    arms = [("prod", None)]
+    if jax.default_backend() == "tpu":
+        arms.append(("vpuall", inject_vpuall))
+    cand = []
+    for tag, setup in arms:
+        try:
+            ftpu.forget_wisdom()
+            if setup is not None:
+                setup()
+            plan = ftpu.plan_dft((n, n, n), dtype="complex64")
+        except Exception as exc:                       # noqa: BLE001
+            print(f"# c2c3d {tag}: plan FAIL {str(exc)[:100]}",
+                  file=sys.stderr)
+            continue
+        finally:
+            ftpu.forget_wisdom()
+        cand.append((tag, plan, jax.jit(plan.apply_split)))
+
+    good = []
+    for tag, plan, run in cand:
+        try:
+            yr, yi = run(xr, xi)
+            err = _relerr(np.asarray(yr) + 1j * np.asarray(yi), ref)
+            if tag == "prod":
+                _check(err, f"c2c 3d {n}^3")
+            if err < VERIFY_TOL:
+                good.append((tag, plan, run, err))
+            elif tag != "prod":
+                print(f"# c2c3d {tag}: verify miss {err:.1e}",
+                      file=sys.stderr)
+        except Exception as exc:                       # noqa: BLE001
+            if tag == "prod":
+                raise
+            print(f"# c2c3d {tag}: FAIL {str(exc)[:100]}", file=sys.stderr)
+    assert good, "no verified c2c3d arm"
 
     time_chained, _ = _timers()
-    t = time_chained(run, (xr, xi))
     flops = 5.0 * (n ** 3) * np.log2(float(n) ** 3)
-    return flops / t, t, repr(plan), relerr
+    best = None
+    for tag, plan, run, err in good:
+        t = time_chained(run, (xr, xi))
+        if len(good) > 1:
+            print(f"# c2c3d {tag}: {flops/t/1e9:.0f} GFLOPS",
+                  file=sys.stderr)
+        if best is None or t < best[0]:
+            best = (t, tag, plan, err)
+    t, tag, plan, err = best
+    if tag != "prod":
+        print(f"# c2c3d: selected {tag}", file=sys.stderr)
+    return flops / t, t, repr(plan), err
 
 
 def bench_r2c_2d(n: int, batch: int = 8):

@@ -783,11 +783,18 @@ def applicable_2d(n1: int, n2: int, rdtype) -> bool:
     return n1 <= MAX_N and n2 <= MAX_N
 
 
-def build_pallas_c2c_split_2d(n1: int, n2: int, sign: int, rdtype):
+def build_pallas_c2c_split_2d(n1: int, n2: int, sign: int, rdtype,
+                              desc1=None, desc2=None):
     """Split-complex apply transforming BOTH trailing axes of
-    (..., n1, n2) in one fused kernel pass."""
-    rad1 = _inner_radices(n1, choose_radices(n1))
-    rad2 = _inner_radices(n2, choose_radices(n2))
+    (..., n1, n2) in one fused kernel pass.
+
+    ``desc1``/``desc2`` are the per-axis planner descriptors; their
+    ``radices`` and ``vpu`` pins are honored (wisdom steers the fused
+    kernel too, e.g. a measured [16,16]-vpuall beating the [256] single
+    stage at n=256), still re-capped by the inner form's VMEM bound."""
+    desc1, desc2 = desc1 or {}, desc2 or {}
+    rad1 = _inner_radices(n1, desc1.get("radices") or choose_radices(n1))
+    rad2 = _inner_radices(n2, desc2.get("radices") or choose_radices(n2))
     mode = config.pallas_mode
     if mode == "auto":
         interpret = jax.default_backend() != "tpu"
@@ -795,7 +802,9 @@ def build_pallas_c2c_split_2d(n1: int, n2: int, sign: int, rdtype):
         interpret = True
     else:
         interpret = False
-    vpu = config.pallas_vpu_last           # pin for fwd AND lazy adjoint
+    vpu = desc1.get("vpu", desc2.get("vpu"))   # pin for fwd + lazy adjoint
+    if vpu is None:
+        vpu = config.pallas_vpu_last
     call = _make_call_2d(n1, n2, rad1, rad2, sign, interpret, vpu=vpu)
     adj_call = [None]
 

@@ -263,7 +263,8 @@ def _make_plan_inner(problem: Problem, flags: int,
                 descriptors[nd - 2] = d1
                 descriptors[nd - 1] = d2
                 fused = pallas_stockham.build_pallas_c2c_split_2d(
-                    shape[nd - 2], shape[nd - 1], problem.sign, rdtype)
+                    shape[nd - 2], shape[nd - 1], problem.sign, rdtype,
+                    desc1=d1, desc2=d2)
                 rest_axes = rest_axes[:-2]
                 trailing2d = fused
             else:

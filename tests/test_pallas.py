@@ -448,3 +448,37 @@ class TestVpuAllStages:
         # each step off the MXU strictly cuts fma and adds VPU add/mul
         assert alls["fma"] == 0.0 < last["fma"] < mxu["fma"]
         assert alls["add"] > last["add"] > mxu["add"]
+
+
+def test_fused_2d_honors_desc_radices_and_vpu(monkeypatch):
+    """The fused 2-D builder takes the per-axis planner descs: wisdom can
+    steer its radix schedules and vpu variant (e.g. racing [16,16]-vpuall
+    against the MXU-only [256] single stage at n=256 — bench_c2c_3d)."""
+    import fftw3_tpu as ftpu
+    from fftw3_tpu.planner import the_planner
+
+    captured = {}
+    real = PS._make_call_2d
+
+    def spy(n1, n2, rad1, rad2, sign, interpret, vpu=None):
+        captured.update(rad1=rad1, rad2=rad2, vpu=vpu)
+        return real(n1, n2, rad1, rad2, sign, interpret, vpu=vpu)
+
+    monkeypatch.setattr(PS, "_make_call_2d", spy)
+    n = 256
+    desc = {"alg": "pallas", "n": n, "radices": [16, 16], "tile_b": 128,
+            "vpu": "all"}
+    ftpu.forget_wisdom()
+    the_planner.wisdom[the_planner._key("c2c", n, np.float32, n)] = {
+        "desc": dict(desc), "patience": 99, "cost": 0.0}
+    try:
+        p = ftpu.plan_dft((n, n), dtype="complex64")
+    finally:
+        ftpu.forget_wisdom()
+    assert captured == {"rad1": [16, 16], "rad2": [16, 16], "vpu": "all"}
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((n, n))
+         + 1j * rng.standard_normal((n, n))).astype(np.complex64)
+    got = np.asarray(jax.jit(p.apply)(jnp.asarray(x)))
+    ref = np.fft.fft2(x.astype(np.complex128))
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-5
