@@ -984,7 +984,8 @@ def _kernel_r2c(radices, n, tb, tw_lanes, vsign, *refs):
     yi_ref[...] = jnp.transpose(xi)
 
 
-def _make_call_r2c(n: int, radices, tb: int, interpret: bool):
+def _make_call_r2c(n: int, radices, tb: int, interpret: bool,
+                   vpu=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -996,8 +997,10 @@ def _make_call_r2c(n: int, radices, tb: int, interpret: bool):
     flat_consts = [np.ascontiguousarray(w.real, np.float32).reshape(m + 1, 1),
                    np.ascontiguousarray(w.imag, np.float32).reshape(m + 1, 1)]
     flat_consts += [c for stage in consts for c in stage]
+    if vpu is None:
+        vpu = config.pallas_vpu_last   # build-time snapshot
     kernel = partial(_kernel_r2c, tuple(radices), n, tb, tw_lanes,
-                     _vpu_sign(-1, config.pallas_vpu_last))
+                     _vpu_sign(-1, vpu))
 
     in_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -1047,7 +1050,8 @@ def build_pallas_r2c(desc: Dict, rdtype):
         interpret = True
     else:
         interpret = False
-    call = _make_call_r2c(n, radices, tb, interpret)
+    call = _make_call_r2c(n, radices, tb, interpret,
+                          vpu=desc.get("vpu"))
 
     def apply(x):
         shp = x.shape[:-1]
@@ -1098,7 +1102,8 @@ def _kernel_c2r(radices, n, tb, tw_lanes, vsign, *refs):
     y_ref[...] = jnp.transpose(y.reshape(n, tb))
 
 
-def _make_call_c2r(n: int, radices, tb: int, interpret: bool):
+def _make_call_c2r(n: int, radices, tb: int, interpret: bool,
+                   vpu=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1110,8 +1115,10 @@ def _make_call_c2r(n: int, radices, tb: int, interpret: bool):
     flat_consts = [np.ascontiguousarray(v.real, np.float32).reshape(m, 1),
                    np.ascontiguousarray(v.imag, np.float32).reshape(m, 1)]
     flat_consts += [c for stage in consts for c in stage]
+    if vpu is None:
+        vpu = config.pallas_vpu_last       # build-time snapshot
     kernel = partial(_kernel_c2r, tuple(radices), n, tb, tw_lanes,
-                     _vpu_sign(+1, config.pallas_vpu_last))
+                     _vpu_sign(+1, vpu))
 
     in_spec = pl.BlockSpec((tb, m + 1), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -1155,7 +1162,8 @@ def build_pallas_c2r(desc: Dict, rdtype):
         interpret = True
     else:
         interpret = False
-    call = _make_call_c2r(n, radices, tb, interpret)
+    call = _make_call_c2r(n, radices, tb, interpret,
+                          vpu=desc.get("vpu"))
 
     def apply(X):
         xr = jnp.real(X)

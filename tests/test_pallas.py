@@ -482,3 +482,18 @@ def test_fused_2d_honors_desc_radices_and_vpu(monkeypatch):
     got = np.asarray(jax.jit(p.apply)(jnp.asarray(x)))
     ref = np.fft.fft2(x.astype(np.complex128))
     assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-5
+
+
+def test_r2c_c2r_desc_pins_vpu():
+    """The fused real kernels honor desc["vpu"] like the c2c forms (the
+    config flag stays the fallback), so wisdom/autotune steer them too."""
+    assert config.pallas_vpu_last is False
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((8, 512)).astype(np.float32)
+    X = jax.jit(PS.build_pallas_r2c(
+        {"alg": "pallas_r2c", "n": 512, "vpu": "all"}, np.float32))(x)
+    ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+    assert np.max(np.abs(np.asarray(X) - ref)) / np.max(np.abs(ref)) < 1e-4
+    y = np.asarray(jax.jit(PS.build_pallas_c2r(
+        {"alg": "pallas_c2r", "n": 512, "vpu": "all"}, np.float32))(X))
+    assert np.max(np.abs(y / 512.0 - x)) < 1e-4
