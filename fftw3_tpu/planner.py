@@ -476,6 +476,19 @@ class Planner:
                     if all(pallas_stockham._vpu_last_ok(r, 1)
                            for r in cand["radices"]):
                         out.append({**cand, "vpu": "all"})
+        elif (patience >= K.PATIENCE_MEASURE
+              and pallas_stockham.backend_allows(rdtype)
+              and pallas_stockham.MAX_N < n <= 2 * pallas_stockham.MAX_N
+              and (n & (n - 1)) == 0):
+            # above the MXU-form VMEM window (MAX_N) the all-VPU variant
+            # may still fit: no G/cross/bf16 buffers.  MEASURE races the
+            # all-eligible split; a scoped-VMEM compile failure is just a
+            # dropped candidate (nmeasure_failed).
+            h = 1 << ((n.bit_length() - 1) // 2)
+            rad = [n // h, h]
+            if all(pallas_stockham._vpu_last_ok(r, 1) for r in rad):
+                out.append({"alg": "pallas", "n": n, "radices": rad,
+                            "vpu": "all"})
         if pallas_stockham.fourstep_applicable(n, rdtype):
             fp, fq = pallas_stockham.choose_fourstep(n)
             out.append({"alg": "pallas4", "n": n, "p": fp, "q": fq})

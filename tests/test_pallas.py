@@ -497,3 +497,33 @@ def test_r2c_c2r_desc_pins_vpu():
     y = np.asarray(jax.jit(PS.build_pallas_c2r(
         {"alg": "pallas_c2r", "n": 512, "vpu": "all"}, np.float32))(X))
     assert np.max(np.abs(y / 512.0 - x)) < 1e-4
+
+
+def test_planner_offers_vpuall_above_max_n(monkeypatch):
+    """Above the MXU-form VMEM window (MAX_N) MEASURE still races a
+    single-kernel all-VPU candidate (no G/cross/bf16 buffers, so it may
+    fit where the MXU form blew scoped VMEM) against pallas4."""
+    import fftw3_tpu as ftpu
+    from fftw3_tpu import kinds as K
+    from fftw3_tpu import planner as planner_mod
+
+    # candidate enumeration recursively PLANS children (mixed/bluestein);
+    # stub the timing pass so this stays an enumeration test
+    monkeypatch.setattr(
+        planner_mod.Planner, "_measure_best",
+        lambda self, kind, n, rdtype, cands, *a, **k: (cands[0], 0.0),
+        raising=True)
+    ftpu.forget_wisdom()
+    n = 2 * PS.MAX_N
+    cands = planner_mod.the_planner._candidates_c2c(
+        n, np.float32, K.PATIENCE_MEASURE, None)
+    singles = [c for c in cands
+               if c.get("alg") == "pallas" and c.get("vpu") == "all"]
+    assert singles, "no above-window vpuall candidate at MEASURE"
+    for c in singles:
+        assert planner_mod.validate_desc("c2c", n, c)
+        assert all(r <= 64 and (r & (r - 1)) == 0 for r in c["radices"])
+    # ESTIMATE never emits it (native C++ policy equality)
+    est = planner_mod.the_planner._candidates_c2c(
+        n, np.float32, K.PATIENCE_ESTIMATE, None)
+    assert not any(c.get("alg") == "pallas" for c in est)
