@@ -96,7 +96,7 @@ def main():
         fns = {}
 
         def _all_ok(r):
-            return all(x <= 64 and (x & (x - 1)) == 0 for x in r)
+            return all(ps._vpu_last_ok(x, 1) for x in r)  # 2-5-smooth
 
         def mk(radices, vpu):
             return jax.jit(ps.build_pallas_c2c_split(
@@ -114,7 +114,7 @@ def main():
                 continue
             if _all_ok(alt):
                 fns[f"vpuall{alt}"] = mk(alt, "all")
-            elif alt[1] <= 64 and (alt[1] & (alt[1] - 1)) == 0:
+            elif ps._vpu_last_ok(alt[1], 1):
                 fns[f"vpu{alt}"] = mk(alt, True)
         fns["prod2"] = mk(rad, False)
 

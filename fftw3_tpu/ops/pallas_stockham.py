@@ -281,16 +281,24 @@ def _gmm(G, X, k2=True):
 
 def _vpu_dft(xr, xi, m, sign):
     """Pure-f32 VPU DFT over axis 0 of an (m, R) split-complex pair,
-    natural output order.  Recursive radix-4 (radix-2 tail) DIT: the
-    butterflies touch only +-1/+-i coefficients (adds and plane swaps);
-    the level twiddles are tiny (q, 1) host constants inlined as Mosaic
-    literals.  No bf16 precision machinery — this is the codelet role
-    (reference ``fftw/dft_scalar/codelets/n1_16.c``) done as VPU
+    natural output order.  Recursive radix-4 (radix-2 tail, radix-5 for
+    the 5-smooth part) DIT: the 2/4 butterflies touch only +-1/+-i
+    coefficients (adds and plane swaps), the 5-butterfly is the standard
+    real-rotation form (4 cos/sin scalar literals); the level twiddles
+    are tiny host constants inlined as Mosaic literals.  No bf16
+    precision machinery — this is the codelet role (reference
+    ``fftw/dft_scalar/codelets/n1_16.c``, ``n1_5.c``) done as VPU
     elementwise chains instead of an MXU contraction, for the small final
     radix where 2p < 128 underfills the systolic rows anyway."""
     if m == 1:
         return xr, xi
-    r = 4 if m % 4 == 0 else 2
+    if m % 4 == 0:
+        r = 4
+    elif m % 2 == 0:
+        r = 2
+    else:
+        assert m % 5 == 0, m      # eligibility gate admits 2-5-smooth only
+        r = 5
     q = m // r
     R = xr.shape[-1]
     xr3 = xr.reshape(r, q, R)      # x[j1*q + j2] at [j1, j2]
@@ -298,6 +306,35 @@ def _vpu_dft(xr, xi, m, sign):
     if r == 2:
         br = [xr3[0] + xr3[1], xr3[0] - xr3[1]]
         bi = [xi3[0] + xi3[1], xi3[0] - xi3[1]]
+    elif r == 5:
+        # X[k1] = u_k +- i*sign*v_k with u = x0 + c1*t1 + c2*t2 etc.
+        # (fftw's n1_5.c role); all four rotations are scalar literals
+        C1 = np.float32(np.cos(2 * np.pi / 5))
+        S1 = np.float32(np.sin(2 * np.pi / 5))
+        C2 = np.float32(np.cos(4 * np.pi / 5))
+        S2 = np.float32(np.sin(4 * np.pi / 5))
+        t1r, t1i = xr3[1] + xr3[4], xi3[1] + xi3[4]
+        t2r, t2i = xr3[2] + xr3[3], xi3[2] + xi3[3]
+        t3r, t3i = xr3[1] - xr3[4], xi3[1] - xi3[4]
+        t4r, t4i = xr3[2] - xr3[3], xi3[2] - xi3[3]
+        u1r = xr3[0] + C1 * t1r + C2 * t2r
+        u1i = xi3[0] + C1 * t1i + C2 * t2i
+        u2r = xr3[0] + C2 * t1r + C1 * t2r
+        u2i = xi3[0] + C2 * t1i + C1 * t2i
+        v1r = S1 * t3r + S2 * t4r
+        v1i = S1 * t3i + S2 * t4i
+        v2r = S2 * t3r - S1 * t4r
+        v2i = S2 * t3i - S1 * t4i
+        if sign < 0:               # X1 = u1 - i v1, X2 = u2 - i v2, ...
+            br = [xr3[0] + t1r + t2r,
+                  u1r + v1i, u2r + v2i, u2r - v2i, u1r - v1i]
+            bi = [xi3[0] + t1i + t2i,
+                  u1i - v1r, u2i - v2r, u2i + v2r, u1i + v1r]
+        else:
+            br = [xr3[0] + t1r + t2r,
+                  u1r - v1i, u2r - v2i, u2r + v2i, u1r + v1i]
+            bi = [xi3[0] + t1i + t2i,
+                  u1i + v1r, u2i + v2r, u2i - v2r, u1i - v1r]
     else:
         t0r, t0i = xr3[0] + xr3[2], xi3[0] + xi3[2]
         t1r, t1i = xr3[0] - xr3[2], xi3[0] - xi3[2]
@@ -350,12 +387,20 @@ def _vpu_dft(xr, xi, m, sign):
 
 
 def _vpu_last_ok(p: int, sign: int) -> bool:
-    """Gate for the VPU final-stage path.  ``sign`` here is the
+    """Gate for the VPU stage path: radix 2-5-smooth and <= 64 (the
+    butterfly recursion covers radices 4/2/5).  ``sign`` here is the
     build-time snapshot the kernel builders take of
     ``config.pallas_vpu_last`` (0 when the flag was off at plan build —
     the flag must NOT be read at trace time, or a plan built under one
     setting would silently retrace under another)."""
-    return sign != 0 and p <= 64 and (p & (p - 1)) == 0
+    if sign == 0 or p > 64:
+        return False
+    m = p
+    while m % 2 == 0:
+        m //= 2
+    while m % 5 == 0:
+        m //= 5
+    return m == 1
 
 
 def _vpu_sign(sign: int, vpu) -> int:

@@ -527,3 +527,44 @@ def test_planner_offers_vpuall_above_max_n(monkeypatch):
     est = planner_mod.the_planner._candidates_c2c(
         n, np.float32, K.PATIENCE_ESTIMATE, None)
     assert not any(c.get("alg") == "pallas" for c in est)
+
+
+class TestVpuRadix5:
+    """Radix-5 VPU butterflies: 2-5-smooth radices <= 64 are eligible for
+    the VPU stage paths, making the non-pow2 BASELINE config n=1000
+    ([40,25] / [50,20]) fully VPU-servable (fftw n1_5.c codelet role)."""
+
+    def test_gate(self):
+        assert PS._vpu_last_ok(40, 1) and PS._vpu_last_ok(25, 1)
+        assert PS._vpu_last_ok(50, 1) and PS._vpu_last_ok(10, 1)
+        assert not PS._vpu_last_ok(48, 1)      # 3-smooth factor
+        assert not PS._vpu_last_ok(80, 1)      # > 64
+        assert not PS._vpu_last_ok(7, 1)
+
+    @pytest.mark.parametrize("n,rad,vpu", [
+        (1000, [40, 25], "all"), (1000, [50, 20], "all"),
+        (1000, [40, 25], True), (500, [25, 20], "all"),
+        (640, [64, 10], "all")])
+    def test_correct(self, n, rad, vpu):
+        for sign in (-1, +1):
+            rng = np.random.default_rng(0)
+            x = (rng.standard_normal((8, n))
+                 + 1j * rng.standard_normal((8, n)))
+            fn = jax.jit(PS.build_pallas_c2c_split(
+                {"alg": "pallas", "n": n, "radices": rad, "tile_b": 128,
+                 "vpu": vpu}, sign, np.float32))
+            yr, yi = fn(jnp.asarray(x.real, jnp.float32),
+                        jnp.asarray(x.imag, jnp.float32))
+            got = np.asarray(yr) + 1j * np.asarray(yi)
+            ref = np.fft.fft(x, axis=1) if sign < 0 \
+                else np.fft.ifft(x, axis=1) * n
+            err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+            tol = 1e-5 if vpu == "all" else 1e-4
+            assert err < tol, (n, rad, vpu, sign, err)
+
+    def test_opcount(self):
+        from fftw3_tpu.ops.c2c import c2c_opcount
+        base = {"alg": "pallas", "n": 1000, "radices": [40, 25]}
+        alls = c2c_opcount({**base, "vpu": "all"})
+        assert alls["fma"] == 0.0
+        assert alls["mul"] > 0 and alls["add"] > 0   # radix-5 rotations
