@@ -262,8 +262,9 @@ def _vpu_stage_opcount(p: int) -> tuple:
     """(real adds, real muls) of ONE size-p pure-f32 VPU DFT
     (pallas_stockham._vpu_dft): radix-4 butterflies are 16 real adds per
     4-point column (radix-2 tail: 4; radix-5: 32 adds + 16 rotation
-    muls); level twiddles cost 4 mul + 2 add each EXCEPT the ones the
-    builder snaps to +-1/+-i (mirrors the snap test exactly)."""
+    muls; radix-3: 12 + 4); level twiddles cost 4 mul + 2 add each
+    EXCEPT the ones the builder snaps to +-1/+-i (mirrors the snap test
+    exactly)."""
     import numpy as np
 
     if p == 1:
@@ -272,11 +273,13 @@ def _vpu_stage_opcount(p: int) -> tuple:
         r = 4
     elif p % 2 == 0:
         r = 2
-    else:
+    elif p % 5 == 0:
         r = 5
+    else:
+        r = 3
     q = p // r
-    add = {4: 16.0, 2: 4.0, 5: 32.0}[r] * q
-    mul = (16.0 * q) if r == 5 else 0.0
+    add = {4: 16.0, 2: 4.0, 5: 32.0, 3: 12.0}[r] * q
+    mul = {4: 0.0, 2: 0.0, 5: 16.0, 3: 4.0}[r] * q
     if q > 1:
         for k1 in range(1, r):
             for j2 in range(q):

@@ -296,9 +296,11 @@ def _vpu_dft(xr, xi, m, sign):
         r = 4
     elif m % 2 == 0:
         r = 2
-    else:
-        assert m % 5 == 0, m      # eligibility gate admits 2-5-smooth only
+    elif m % 5 == 0:
         r = 5
+    else:
+        assert m % 3 == 0, m      # gate admits 2-3-5-smooth only
+        r = 3
     q = m // r
     R = xr.shape[-1]
     xr3 = xr.reshape(r, q, R)      # x[j1*q + j2] at [j1, j2]
@@ -306,6 +308,20 @@ def _vpu_dft(xr, xi, m, sign):
     if r == 2:
         br = [xr3[0] + xr3[1], xr3[0] - xr3[1]]
         bi = [xi3[0] + xi3[1], xi3[0] - xi3[1]]
+    elif r == 3:
+        # X1/X2 = u -+ i*sign*S3*t3 with u = x0 - t1/2 (fftw n1_3.c role)
+        S3 = np.float32(np.sqrt(3.0) / 2.0)
+        H = np.float32(0.5)
+        t1r, t1i = xr3[1] + xr3[2], xi3[1] + xi3[2]
+        t3r, t3i = xr3[1] - xr3[2], xi3[1] - xi3[2]
+        ur, ui = xr3[0] - H * t1r, xi3[0] - H * t1i
+        vr_, vi_ = S3 * t3r, S3 * t3i
+        if sign < 0:
+            br = [xr3[0] + t1r, ur + vi_, ur - vi_]
+            bi = [xi3[0] + t1i, ui - vr_, ui + vr_]
+        else:
+            br = [xr3[0] + t1r, ur - vi_, ur + vi_]
+            bi = [xi3[0] + t1i, ui + vr_, ui - vr_]
     elif r == 5:
         # X[k1] = u_k +- i*sign*v_k with u = x0 + c1*t1 + c2*t2 etc.
         # (fftw's n1_5.c role); all four rotations are scalar literals
@@ -387,8 +403,8 @@ def _vpu_dft(xr, xi, m, sign):
 
 
 def _vpu_last_ok(p: int, sign: int) -> bool:
-    """Gate for the VPU stage path: radix 2-5-smooth and <= 64 (the
-    butterfly recursion covers radices 4/2/5).  ``sign`` here is the
+    """Gate for the VPU stage path: radix 2-3-5-smooth and <= 64 (the
+    butterfly recursion covers radices 4/2/5/3).  ``sign`` here is the
     build-time snapshot the kernel builders take of
     ``config.pallas_vpu_last`` (0 when the flag was off at plan build —
     the flag must NOT be read at trace time, or a plan built under one
@@ -396,10 +412,9 @@ def _vpu_last_ok(p: int, sign: int) -> bool:
     if sign == 0 or p > 64:
         return False
     m = p
-    while m % 2 == 0:
-        m //= 2
-    while m % 5 == 0:
-        m //= 5
+    for f in (2, 3, 5):
+        while m % f == 0:
+            m //= f
     return m == 1
 
 

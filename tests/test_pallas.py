@@ -537,7 +537,6 @@ class TestVpuRadix5:
     def test_gate(self):
         assert PS._vpu_last_ok(40, 1) and PS._vpu_last_ok(25, 1)
         assert PS._vpu_last_ok(50, 1) and PS._vpu_last_ok(10, 1)
-        assert not PS._vpu_last_ok(48, 1)      # 3-smooth factor
         assert not PS._vpu_last_ok(80, 1)      # > 64
         assert not PS._vpu_last_ok(7, 1)
 
@@ -568,3 +567,37 @@ class TestVpuRadix5:
         alls = c2c_opcount({**base, "vpu": "all"})
         assert alls["fma"] == 0.0
         assert alls["mul"] > 0 and alls["add"] > 0   # radix-5 rotations
+
+
+class TestVpuRadix3:
+    """Radix-3 VPU butterflies complete the 2-3-5-smooth <= 64 gate
+    (fftw n1_3.c codelet role): e.g. n=1500 [50,30], 384 [24,16]."""
+
+    def test_gate(self):
+        assert PS._vpu_last_ok(48, 1) and PS._vpu_last_ok(60, 1)
+        assert PS._vpu_last_ok(27, 1) and PS._vpu_last_ok(15, 1)
+        assert not PS._vpu_last_ok(7, 1) and not PS._vpu_last_ok(66, 1)
+
+    @pytest.mark.parametrize("n,rad", [
+        (1500, [50, 30]), (384, [24, 16]), (240, [16, 15]),
+        (1296, [36, 36]), (972, [54, 18])])
+    def test_correct(self, n, rad):
+        for sign in (-1, +1):
+            rng = np.random.default_rng(0)
+            x = (rng.standard_normal((8, n))
+                 + 1j * rng.standard_normal((8, n)))
+            fn = jax.jit(PS.build_pallas_c2c_split(
+                {"alg": "pallas", "n": n, "radices": rad, "tile_b": 128,
+                 "vpu": "all"}, sign, np.float32))
+            yr, yi = fn(jnp.asarray(x.real, jnp.float32),
+                        jnp.asarray(x.imag, jnp.float32))
+            got = np.asarray(yr) + 1j * np.asarray(yi)
+            ref = np.fft.fft(x, axis=1) if sign < 0 \
+                else np.fft.ifft(x, axis=1) * n
+            assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-5
+
+    def test_opcount(self):
+        from fftw3_tpu.ops.c2c import c2c_opcount
+        alls = c2c_opcount({"alg": "pallas", "n": 1500,
+                            "radices": [50, 30], "vpu": "all"})
+        assert alls["fma"] == 0.0 and alls["mul"] > 0
