@@ -567,12 +567,80 @@ def _bench_1000():
 
 
 def _bench_f64_1024():
-    """BASELINE config #1 (`ocf1024`): 1-D c2c n=1024 DOUBLE.  f64 rides
-    XLA's software emulation on TPU (no native f64 MXU); modest batch —
-    emulated f64 is ~20x slower than f32."""
+    """BASELINE config #1 (`ocf1024`): 1-D c2c n=1024 DOUBLE.  Races the
+    planner's ESTIMATE choice (the df32 XLA pipeline — per-stage HBM
+    sweeps of the four f32 planes) against the fused Pallas df32 kernel
+    (`df32p`, one HBM pass), both verified at the 1e-10 double contract.
+    A df32p Mosaic compile failure just drops the arm."""
     import jax
     jax.config.update("jax_enable_x64", True)
-    return bench_c2c_1d(1024, 512, dtype="complex128")
+    import jax.numpy as jnp
+
+    import fftw3_tpu as ftpu
+    from fftw3_tpu.planner import the_planner
+
+    n, batch = 1024, 512
+    rng = np.random.default_rng(0)
+
+    def inject():
+        from fftw3_tpu.ops import df32
+        key = the_planner._key("c2c", n, np.float64, batch)
+        the_planner.wisdom[key] = {
+            "desc": {"alg": "df32p", "n": n,
+                     "radices": df32.df32p_radices(n)},
+            "patience": 99, "cost": 0.0}
+
+    arms = [("prod", None)]
+    if jax.default_backend() == "tpu":
+        arms.append(("df32p", inject))
+
+    vb = 128
+    vr = rng.standard_normal((vb, n))
+    vi = rng.standard_normal((vb, n))
+    ref = np.fft.fft(vr + 1j * vi, axis=1)
+    xr = jnp.asarray(rng.standard_normal((batch, n)), jnp.float64)
+    xi = jnp.asarray(rng.standard_normal((batch, n)), jnp.float64)
+
+    good = []
+    for tag, setup in arms:
+        try:
+            ftpu.forget_wisdom()
+            if setup is not None:
+                setup()
+            plan = ftpu.plan_many_dft([n], howmany=batch,
+                                      dtype="complex128")
+            run = jax.jit(plan.apply_split)
+            yr, yi = run(vr.astype(np.float64), vi.astype(np.float64))
+            err = _relerr(np.asarray(yr) + 1j * np.asarray(yi), ref)
+            if tag == "prod":
+                _check(err, f"c2c n={n} complex128", 1e-10)
+            if err < 1e-10:
+                good.append((tag, plan, run, err))
+            else:
+                print(f"# f64 {tag}: verify miss {err:.1e}",
+                      file=sys.stderr)
+        except Exception as exc:                       # noqa: BLE001
+            if tag == "prod":
+                raise
+            print(f"# f64 {tag}: FAIL {str(exc)[:100]}", file=sys.stderr)
+        finally:
+            ftpu.forget_wisdom()
+    assert good, "no verified f64 arm"
+
+    time_chained, _ = _timers()
+    flops = 5.0 * n * np.log2(n) * batch
+    best = None
+    for tag, plan, run, err in good:
+        t = time_chained(run, (xr, xi))
+        if len(good) > 1:
+            print(f"# f64 {tag}: {flops/t/1e9:.1f} GFLOPS",
+                  file=sys.stderr)
+        if best is None or t < best[0]:
+            best = (t, tag, plan, err)
+    t, tag, plan, err = best
+    if tag != "prod":
+        print(f"# f64: selected {tag}", file=sys.stderr)
+    return flops / t, t, repr(plan), err
 
 
 def main():

@@ -176,6 +176,10 @@ def build_c2c_split(desc: Dict, sign: int, rdtype) -> SplitApply:
         from . import df32
         return df32.build_df32_c2c_split(desc, sign, rdtype)
 
+    if alg == "df32p":
+        from . import df32
+        return df32.build_df32_pallas_split(desc, sign, rdtype)
+
     if alg == "pallas":
         from . import pallas_stockham
         return pallas_stockham.build_pallas_c2c_split(desc, sign, rdtype)
@@ -320,6 +324,25 @@ def c2c_opcount(desc: Dict) -> Dict[str, float]:
             cadd = n * (p - 1)
             total["add"] += cadd * 22.0 + cmul * 70.0
             total["mul"] += cmul * 36.0
+        return total
+    if alg == "df32p":
+        # fused df kernel: the _vpu_dft butterfly structure in df
+        # arithmetic.  Map the f32 stage counts (a adds, m muls with 4
+        # muls per cmul) to df costs: add -> df add (11 f32 adds), cmul
+        # -> df cmul (36 mul + 70 add); plus the stage twiddle as one df
+        # cmul per point on every stage but the last.
+        total = {"add": 0.0, "mul": 0.0, "fma": 0.0}
+        rest = n
+        for p in desc["radices"]:
+            q = rest // p
+            a, m = _vpu_stage_opcount(p)
+            cm = m / 4.0
+            total["add"] += (a * 11.0 + cm * 70.0) * (n / p)
+            total["mul"] += cm * 36.0 * (n / p)
+            if q > 1:
+                total["add"] += 70.0 * n
+                total["mul"] += 36.0 * n
+            rest = q
         return total
     if alg == "pallas":
         # EXACT counts of the stacked-G implementation: each stage is one

@@ -95,6 +95,13 @@ def _c2c_cost(desc: Dict, hw: HardwareModel = HW, f64: bool = False) -> float:
             per_pt = 260.0 if p in (2, 4) else 170.0 * p
             t += 32.0 * n / hw.hbm_bw + per_pt * n / hw.vpu_flops
         return t
+    if alg == "df32p":
+        # fused df kernel: one HBM pass of the four f32 planes, df
+        # butterfly/twiddle VPU chains per stage (f32 regardless of dtype)
+        t = 1.25 * 2 * el * n / hw.hbm_bw
+        for p in desc["radices"]:
+            t += 60.0 * math.log2(max(p, 2)) * n / hw.vpu_flops
+        return t
     if alg == "direct":
         bytes_moved = 2 * el * n
         flops = 8.0 * n * n
@@ -444,6 +451,14 @@ class Planner:
                 # emulated-f64 solvers below for complex128 plans
                 out.append({"alg": "df32", "n": n,
                             "radices": df32.df32_radices(n)})
+            if (patience >= K.PATIENCE_MEASURE
+                    and df32.df32p_applicable(n)):
+                # fused Pallas df32 kernel: whole double-float pipeline
+                # VMEM-resident (one HBM pass vs one sweep per stage).
+                # MEASURE-only like the other pallas variants: compile
+                # failure on-chip is a dropped candidate, not a dead plan
+                out.append({"alg": "df32p", "n": n,
+                            "radices": df32.df32p_radices(n)})
         if n <= DIRECT_MAX or (n <= GENERIC_MAX and
                                primes.largest_prime_factor(n) > 64):
             out.append({"alg": "direct", "n": n})
@@ -694,7 +709,7 @@ def validate_desc(kind: str, n: int, desc) -> bool:
             p = desc.get("p")
             return (isinstance(p, int) and 1 < p < n and n % p == 0
                     and validate_desc("c2c", n // p, desc.get("child")))
-        if alg in ("pallas", "df32"):
+        if alg in ("pallas", "df32", "df32p"):
             rad = desc.get("radices")
             return (isinstance(rad, list) and
                     math.prod(rad) == n and
@@ -838,6 +853,8 @@ def sprint_desc(desc: Dict) -> str:
         v = {True: " vpu", False: " mxu",
              "all": " vpuall"}.get(desc.get("vpu"), "")
         return f"(pallas-{n} r{'x'.join(map(str, desc['radices']))}{v})"
+    if alg == "df32p":
+        return f"(df32p-{n} r{'x'.join(map(str, desc['radices']))})"
     if alg == "pallas4":
         return f"(pallas4-{desc['p']}x{desc['q']})"
     if alg in ("pallas_r2c", "pallas_c2r"):
