@@ -38,21 +38,38 @@ def make_kernel(n, radices, sign, tb, mode="prod", interpret=False):
 
     tw_lanes = _flat_tw_lanes(n, radices, tb)
     consts = _stage_consts(n, radices, sign, tw_lanes)
+    if mode == "blockdiag":
+        # expand each stage's G to its block-diagonal packed form at PLAN
+        # time (numpy) — the kernel reads the packed constant from VMEM
+        consts = [list(stage) for stage in consts]
+        done = 1
+        rest = n
+        for si, p in enumerate(radices):
+            q = rest // p
+            r = 128 // (2 * p)
+            M = q * done * tb
+            if 2 * p < 128 and r > 1 and M % r == 0:
+                G = consts[si][0]
+                BD = np.zeros((2 * p * r, 2 * p * r), np.float32)
+                for i in range(r):
+                    BD[2 * p * i:2 * p * (i + 1),
+                       2 * p * i:2 * p * (i + 1)] = G
+                consts[si][0] = BD
+            done *= p
+            rest = q
     flat_consts = [c for stage in consts for c in stage]
 
-    def bd_gmm(G, x2, p, M):
+    def bd_gmm(BD, x2, p, M):
         """Block-diagonal full-width pass for 2p < 128: pack r column
-        groups into rows; math identical to _gmm(G, x2)."""
-        r = 128 // (2 * p)
+        groups into rows; math identical to _gmm(G, x2).  BD is the
+        plan-time packed (2p*r, 2p*r) constant."""
+        r = BD.shape[0] // (2 * p)
         if r <= 1 or M % r:
-            return _gmm(G, x2, k2=(4 * p * M <= 768 << 10))
+            return _gmm(BD, x2, k2=(4 * p * M <= 768 << 10))
         Mr = M // r
-        BD = np.zeros((2 * p * r, 2 * p * r), np.float32)
-        for i in range(r):
-            BD[2 * p * i:2 * p * (i + 1), 2 * p * i:2 * p * (i + 1)] = G
         xg = jnp.transpose(x2.reshape(2 * p, r, Mr), (1, 0, 2)) \
             .reshape(2 * p * r, Mr)
-        yg = _gmm(jnp.asarray(BD), xg, k2=(4 * p * r * Mr <= 768 << 10))
+        yg = _gmm(BD, xg, k2=(2 * BD.shape[0] * Mr <= 768 << 10))
         return jnp.transpose(yg.reshape(r, 2 * p, Mr), (1, 0, 2)) \
             .reshape(2 * p, M)
 
