@@ -69,6 +69,13 @@ strict_f64: bool = False
 #: Set 1.0 to always trust the measurement.
 measure_hysteresis = None
 
+#: Surface best-effort failures instead of silently degrading.  When True,
+#: paths that normally fall back (the threads-tier parallel executor, which
+#: mirrors FFTW's silent serial fallback for loops with fewer iterations
+#: than threads) re-raise their exception instead of returning the serial
+#: plan.  Tests enable this so engine bugs cannot hide behind the fallback.
+debug: bool = False
+
 
 def resolved_measure_hysteresis() -> float:
     if measure_hysteresis is not None:

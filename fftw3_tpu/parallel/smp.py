@@ -40,6 +40,12 @@ from jax.sharding import PartitionSpec as P
 from .. import kinds as K
 
 
+class _NoFit(Exception):
+    """No device split fits the problem — the expected serial fallback
+    (FFTW's fewer-iterations-than-threads case), never logged or raised
+    to the user even under ``config.debug``."""
+
+
 def _local_mesh(k: int) -> Optional[Mesh]:
     devs = jax.devices()
     k = min(int(k), len(devs))
@@ -64,14 +70,22 @@ def parallel_executor(plan) -> Optional[Callable]:
     the six-step cannot split, unsupported kind combinations) returns
     None and the serial path stands.
     """
-    from .. import threads
+    from .. import config, threads
 
     mesh = _local_mesh(threads.planner_nthreads())
     if mesh is None:
         return None
     try:
         return _build(plan, mesh)
-    except Exception:                                  # noqa: BLE001
+    except _NoFit:
+        return None
+    except Exception as exc:                           # noqa: BLE001
+        if config.debug:
+            raise
+        import sys
+        print(f"# smp: parallel executor fell back to serial for "
+              f"{plan.problem}: {type(exc).__name__}: {str(exc)[:200]}",
+              file=sys.stderr)
         return None
 
 
@@ -98,10 +112,14 @@ def _build(plan, mesh: Mesh) -> Optional[Callable]:
 
     # slab shard axis: a transform axis other than the (halved/lane) last
     # one — the threaded rank-geq2 row loops become local passes + one
-    # global transpose.  StopIteration (1-D-of-multi problems whose only
-    # transform axis is last) falls through the caller's guard to serial.
+    # global transpose.  _NoFit (1-D-of-multi problems whose only
+    # transform axis is last) is the LEGITIMATE serial fallback, distinct
+    # from engine bugs which the caller logs/raises.
     def slab_axis():
-        return next(a for a in prob.axes if a != prob.axes[-1])
+        for a in prob.axes:
+            if a != prob.axes[-1]:
+                return a
+        raise _NoFit(f"no slab axis for axes={prob.axes}")
 
     cdtype = "complex64" if prob.rdtype == "float32" else "complex128"
     if prob.kind == "c2c":

@@ -135,3 +135,53 @@ def test_apply_stays_pure_under_nthreads(rng, nthreads4):
     p = ftpu.plan_many_dft([64], howmany=8, dtype="complex64")
     y = jax.jit(lambda a: p.apply(a) * 2.0)(x)
     assert relerr(y, 2 * np.fft.fft(x.astype(np.complex128), axis=1)) < 1e-3
+
+
+def test_debug_surfaces_engine_bugs(rng, nthreads4, monkeypatch):
+    """An engine BUG (as opposed to a legitimate no-fit) must not hide
+    behind the serial fallback: under config.debug the exception
+    propagates; without it, a stderr line is emitted (round-3 verdict —
+    parallel/smp.py used to swallow every exception)."""
+    import io
+    import sys
+
+    from fftw3_tpu import config
+    from fftw3_tpu.parallel import dist, smp
+
+    def boom(*a, **kw):
+        raise RuntimeError("deliberately broken dist planner")
+
+    monkeypatch.setattr(dist, "plan_dft_dist", boom)
+    monkeypatch.setattr(config, "debug", True)
+    with pytest.raises(RuntimeError, match="deliberately broken"):
+        ftpu.plan_dft((64, 64), dtype="complex64")
+
+    monkeypatch.setattr(config, "debug", False)
+    err = io.StringIO()
+    monkeypatch.setattr(sys, "stderr", err)
+    p = ftpu.plan_dft((64, 64), dtype="complex64")
+    assert p._par_fn is None                       # degraded to serial...
+    assert "fell back to serial" in err.getvalue()  # ...but said so
+
+
+def test_no_fit_fallback_stays_silent(rng, nthreads4, monkeypatch):
+    """The legitimate no-fit case (1-D-of-2-D last-axis problem: no slab
+    axis) must stay a SILENT serial fallback even under config.debug —
+    FFTW's fewer-iterations-than-threads behavior, not a bug."""
+    import io
+    import sys
+
+    from fftw3_tpu import config
+
+    monkeypatch.setattr(config, "debug", True)
+    err = io.StringIO()
+    monkeypatch.setattr(sys, "stderr", err)
+    # 7 rows: not divisible by 4 (no vector split); transform axis is the
+    # last one only (no slab axis) -> _NoFit
+    x = (rng.standard_normal((7, 64)) + 1j * rng.standard_normal((7, 64))
+         ).astype(np.complex64)
+    p = ftpu.plan_many_dft([64], howmany=7, dtype="complex64")
+    assert p._par_fn is None
+    assert "fell back" not in err.getvalue()
+    y = p.execute(x)
+    assert relerr(y, np.fft.fft(x.astype(np.complex128), axis=1)) < 1e-3
