@@ -34,9 +34,13 @@ import numpy as np
 
 from . import matrices
 
-#: Dekker split constant for f32 (2^12 + 1): splits a 24-bit mantissa into
-#: two 12-bit halves whose pairwise products are EXACT in f32.
+#: Dekker split constants (2^ceil(t/2) + 1 for a t-bit mantissa): split the
+#: mantissa into two halves whose pairwise products are EXACT in the same
+#: dtype.  f32: 2^12+1.  f64: 2^27+1 (used by the dd64 quad/long-double
+#: tier, ops/dd64.py, which reuses these error-free transforms on f64
+#: planes — the df_* ops below are dtype-generic).
 _SPLIT = np.float32(4097.0)
+_SPLIT64 = np.float64(134217729.0)
 
 # A double-float number is a pair (hi, lo) of f32 arrays; a double-float
 # complex is a 4-tuple (rh, rl, ih, il).
@@ -57,13 +61,16 @@ def _fast_two_sum(s, e):
 
 def _two_prod(a, b):
     """Error-free a * b = p + e via Dekker splitting (pairwise products of
-    12-bit halves are exact f32).  Overflows for |a|,|b| >~ 2^115; FFT data
-    scaled anywhere near that is outside every contract."""
+    half-mantissa pieces are exact in the working dtype).  Overflows for
+    |a|,|b| >~ 2^115 (f32); FFT data scaled anywhere near that is outside
+    every contract.  Dtype-generic: picks the split constant from the
+    operand dtype (trace-time branch, zero runtime cost)."""
+    split = _SPLIT64 if jnp.result_type(a) == jnp.float64 else _SPLIT
     p = a * b
-    ah = _SPLIT * a
+    ah = split * a
     ah = ah - (ah - a)
     al = a - ah
-    bh = _SPLIT * b
+    bh = split * b
     bh = bh - (bh - b)
     bl = b - bh
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl

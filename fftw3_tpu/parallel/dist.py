@@ -734,8 +734,21 @@ def _plan_six_step(shape, mesh, axis_name, axis, sign, flags, rdtype,
     C = n // R
     Rp = R + ((-R) % nproc)            # padded row count (ragged blocks)
     if Rp != R and (scrambled_out or scrambled_in):
-        raise ValueError("SCRAMBLED_IN/OUT needs nproc | R; this "
-                         "(n, nproc) pair is ragged — use natural layout")
+        # DOCUMENTED RESTRICTION (vs fftw/mpi/dft-rank1.c, which applies
+        # its scrambled format to arbitrary block interactions): the
+        # scrambled format is implementation-defined in both libraries
+        # (FFTW: "the scrambled format is deliberately undocumented");
+        # this implementation defines it only for nproc | R — i.e. when
+        # some divisor R of n has nproc | R AND nproc | n/R, which
+        # _choose_six_step_radix prefers whenever one exists.  Ragged
+        # (n, nproc) pairs (no such R, e.g. n=12 over 8 devices) would
+        # need a padded matrix format whose local size exceeds n/P;
+        # natural layout handles those pairs instead (same transform,
+        # one extra transpose).  See PARITY.md §2.9.
+        raise ValueError(
+            f"SCRAMBLED_IN/OUT needs nproc | R (n={n} has no divisor R "
+            f"with {nproc} | R and {nproc} | n/R) — use natural layout, "
+            f"which supports ragged (n, nproc) pairs")
     transpose = _resolve_transpose(
         transpose_method, mesh, axis_name, shape, np.complex64,
         exchange_local=(Rp // nproc, C))   # the actual matrix-view block
