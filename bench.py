@@ -391,22 +391,31 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
         return all(ps._vpu_last_ok(r, 1) for r in rad)   # 2-5-smooth <=64
 
     rad0 = ps.choose_radices(n)
-    arms = [("prod", False, rad0), ("vpu", True, rad0)]
+    # k2 axis (round 4): "all" = the fused cross pass on EVERY stage —
+    # the round-2/3 headline kernel, which the current toolchain can only
+    # run from cache (fresh compiles crash tpu_compile_helper; see
+    # pallas_stockham.K2_DEFAULT) — vs "first" = the compile-safe default.
+    # Racing both keeps the cached 40 ps/pt kernel while it lives and
+    # measures what the k2 restriction actually costs.
+    arms = [("prod", False, rad0, "first"),
+            ("prodk2all", False, rad0, "all"),
+            ("vpu", True, rad0, "first")]
     if _all_ok(rad0):
-        arms.append(("vpuall", "all", rad0))
+        arms.append(("vpuall", "all", rad0, "first"))
     for alt in ps.alternative_radices(n, k=6):
-        if alt == rad0 or len(alt) != 2 or len(arms) >= 6:
+        if alt == rad0 or len(alt) != 2 or len(arms) >= 7:
             continue
         if _all_ok(alt):
-            arms.append((f"vpuall{alt}", "all", alt))
+            arms.append((f"vpuall{alt}", "all", alt, "first"))
         elif ps._vpu_last_ok(alt[1], 1):
-            arms.append((f"vpu{alt}", True, alt))
+            arms.append((f"vpu{alt}", True, alt, "first"))
     fns = {}
-    for tag, flag, rad in arms:
+    for tag, flag, rad, k2 in arms:
         try:
             fns[tag] = jax.jit(ps.build_pallas_c2c_split(
                 {"alg": "pallas", "n": n, "radices": list(rad),
-                 "tile_b": ps.tile_for(n), "vpu": flag}, -1, np.float32))
+                 "tile_b": ps.tile_for(n), "vpu": flag, "k2": k2},
+                -1, np.float32))
         except Exception as exc:                       # noqa: BLE001
             print(f"# autotune {tag}: build FAIL {str(exc)[:100]}",
                   file=sys.stderr)
@@ -416,7 +425,7 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
     vi = rng.standard_normal((256, n)).astype(np.float32)
     ref = np.fft.fft((vr + 1j * vi).astype(np.complex128), axis=1)
     good = []
-    for tag, flag, rad in arms:
+    for tag, flag, rad, k2 in arms:
         if tag not in fns:
             continue
         try:
@@ -424,7 +433,7 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
             err = _relerr(np.asarray(yr) + 1j * np.asarray(yi), ref)
             print(f"# autotune {tag}: relerr={err:.1e}", file=sys.stderr)
             if err < VERIFY_TOL:
-                good.append((tag, flag, rad))
+                good.append((tag, flag, rad, k2))
         except Exception as exc:                       # noqa: BLE001
             print(f"# autotune {tag}: verify FAIL {str(exc)[:100]}",
                   file=sys.stderr)
@@ -433,14 +442,14 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
 
     b_lo, b_hi = 8192, 24576
     configs = []
-    for tag, _, _ in good:
+    for tag, _, _, _ in good:
         for b in (b_lo, b_hi):
             xr = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
             xi = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
             configs.append((fns[tag], (xr, xi)))
     ts = timing.time_chained_multi(configs, k1=4, k2=16, reps=7)
     slopes = {}
-    for i, (tag, _, _) in enumerate(good):
+    for i, (tag, _, _, _) in enumerate(good):
         s = (ts[2 * i + 1] - ts[2 * i]) / ((b_hi - b_lo) * n)
         slopes[tag] = s
         print(f"# autotune {tag}: {s*1e12:.1f} ps/pt", file=sys.stderr)
@@ -448,18 +457,20 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
     if best_tag == "prod":
         print("# autotune: keeping prod defaults", file=sys.stderr)
         return
-    _, flag, rad = next(a for a in good if a[0] == best_tag)
+    _, flag, rad, k2 = next(a for a in good if a[0] == best_tag)
     config.pallas_vpu_last = flag
     from fftw3_tpu.planner import the_planner
     key = the_planner._key("c2c", n, np.float32, batch)
-    # the desc carries the variant ("vpu") so the winning plan is pinned
-    # independent of later global-flag flips (wisdom = unit of choice)
+    # the desc carries the variant ("vpu"/"k2") so the winning plan is
+    # pinned independent of later global-flag flips (wisdom = unit of
+    # choice)
     the_planner.wisdom[key] = {
         "desc": {"alg": "pallas", "n": n, "radices": list(rad),
-                 "tile_b": ps.tile_for(n), "vpu": flag},
+                 "tile_b": ps.tile_for(n), "vpu": flag, "k2": k2},
         "patience": 99, "cost": 0.0}
     print(f"# autotune: selected {best_tag} "
-          f"(vpu_last={flag}, radices={list(rad)})", file=sys.stderr)
+          f"(vpu_last={flag}, radices={list(rad)}, k2={k2})",
+          file=sys.stderr)
 
 
 def _autotune_4096(batch: int = 4096) -> None:

@@ -249,6 +249,20 @@ def _stage_consts(n: int, radices: Sequence[int], sign: int,
 #: budget excludes it (falls back to the 3-pass form).
 K2_MAX_BYTES = 768 << 10
 
+#: Which stages may use the fused k2 cross pass: "first" (default),
+#: "all", or "off".  MEASURED TOOLCHAIN CRASH (round 4, 2026-08-19): the
+#: k2 concat on a stage with done > 1 (operand fed by the inter-stage
+#: permute) makes tpu_compile_helper exit 1 (HTTP 500) on every FRESH
+#: Mosaic compile — first-stage k2, the 3-pass form, and HIGHEST all
+#: compile fine, and previously-cached full-k2 executables still run.
+#: Wisdom/autotune can pin "all" per-plan via desc["k2"] (the cached
+#: headline kernel), so nothing regresses where the cache holds.
+K2_DEFAULT = "first"
+
+
+def _k2_stage_ok(k2mode: str, done: int) -> bool:
+    return k2mode == "all" or (k2mode == "first" and done == 1)
+
 
 def _gmm(G, X, k2=True):
     """The stacked stage matmul: (2p, 2p) @ (2p, M) on the MXU.
@@ -263,8 +277,12 @@ def _gmm(G, X, k2=True):
     stacked cross operand is an extra (4p, M) bf16 buffer).
     """
     if config.pallas_matmul != "bf16x3":
+        # Mosaic supports DEFAULT and HIGHEST but NOT HIGH — pin HIGHEST
+        # here rather than config.precision() (which maps the global
+        # matmul_precision="high" to the unsupported enum; measured:
+        # "Unsupported dot precision: HIGH" at compile)
         return jnp.dot(G, X, preferred_element_type=jnp.float32,
-                       precision=config.precision())
+                       precision=jax.lax.Precision.HIGHEST)
     Gh = G.astype(jnp.bfloat16)
     Gl = (G - Gh.astype(jnp.float32)).astype(jnp.bfloat16)
     Xh = X.astype(jnp.bfloat16)
@@ -430,7 +448,8 @@ def _vpu_sign(sign: int, vpu) -> int:
     return sign * (2 if vpu == "all" else 1)
 
 
-def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0, sign=0):
+def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0, sign=0,
+            k2mode=K2_DEFAULT):
     """Shared Stockham stage loop on (n, TB) values (transform index in
     major/sublane dims, TB lanes).  ``tw_lanes == tb`` selects the flat
     first-stage twiddle (see FLAT_TW_MAX_BYTES).
@@ -477,12 +496,13 @@ def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0, sign=0):
             ci += 1
             # contraction over (c, j1): the (2, p, ...) major pair merges
             # to rows of ONE 2-D matmul on (2p, q*done*TB)
+            k2ok = _k2_stage_ok(k2mode, done)
             if st.shape[0] == 1:
                 y = _gmm(G[:, :p], st.reshape(p, M),
-                         k2=(2 * p * M <= K2_MAX_BYTES))
+                         k2=(k2ok and 2 * p * M <= K2_MAX_BYTES))
             else:
                 y = _gmm(G, st.reshape(2 * p, M),
-                         k2=(4 * p * M <= K2_MAX_BYTES))
+                         k2=(k2ok and 4 * p * M <= K2_MAX_BYTES))
         if q > 1:
             if done == 1 and tw_lanes == tb:
                 # flat twiddle on the 2-D matmul-output view (no
@@ -519,7 +539,8 @@ def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0, sign=0):
     return st[0], st[1]
 
 
-def _kernel(radices, n, tb, pretwiddle, tw_lanes, store_kp, sign, *refs):
+def _kernel(radices, n, tb, pretwiddle, tw_lanes, store_kp, sign, k2mode,
+            *refs):
     """Last-axis form: blocks (TB, n); transpose to batch-in-lanes and
     back inside VMEM (measured: the 2-D transposes are free).
 
@@ -543,7 +564,7 @@ def _kernel(radices, n, tb, pretwiddle, tw_lanes, store_kp, sign, *refs):
         xi = xi3.reshape(tb, n)
     ar, ai = _stages(radices, n, tb, crefs,
                      jnp.transpose(xr), jnp.transpose(xi),
-                     tw_lanes=tw_lanes, sign=sign)
+                     tw_lanes=tw_lanes, sign=sign, k2mode=k2mode)
     if store_kp:
         # four-step fused store: rows are (b, k1) pairs with k1 = row mod
         # p; emit (g, n, p) blocks so the (B, p, q) -> (B, q, p) output
@@ -559,7 +580,7 @@ def _kernel(radices, n, tb, pretwiddle, tw_lanes, store_kp, sign, *refs):
     yi_ref[...] = jnp.transpose(ai)
 
 
-def _kernel_inner(radices, n, g, tl, tw_lanes, sign, *refs):
+def _kernel_inner(radices, n, g, tl, tw_lanes, sign, k2mode, *refs):
     """Axis -2 form: blocks (G, n, TL); the trailing dims already are the
     lanes.  G leading rows share one grid step (small n would otherwise
     drown in per-block overhead); they fold into the lane dimension via a
@@ -568,21 +589,22 @@ def _kernel_inner(radices, n, g, tl, tw_lanes, sign, *refs):
     yr_ref, yi_ref = refs[-2], refs[-1]
     if g == 1:
         ar, ai = _stages(radices, n, tl, refs[2:-2], xr_ref[0], xi_ref[0],
-                         tw_lanes=tw_lanes, sign=sign)
+                         tw_lanes=tw_lanes, sign=sign, k2mode=k2mode)
         yr_ref[0] = ar
         yi_ref[0] = ai
         return
     xr = jnp.transpose(xr_ref[...], (1, 0, 2)).reshape(n, g * tl)
     xi = jnp.transpose(xi_ref[...], (1, 0, 2)).reshape(n, g * tl)
     ar, ai = _stages(radices, n, g * tl, refs[2:-2], xr, xi,
-                     tw_lanes=tw_lanes, sign=sign)
+                     tw_lanes=tw_lanes, sign=sign, k2mode=k2mode)
     yr_ref[...] = jnp.transpose(ar.reshape(n, g, tl), (1, 0, 2))
     yi_ref[...] = jnp.transpose(ai.reshape(n, g, tl), (1, 0, 2))
 
 
 def _make_call(n: int, radices: Sequence[int], sign: int, tb: int,
                interpret: bool, pretwiddle_p: int = 0,
-               store_transposed: bool = False, vpu=None):
+               store_transposed: bool = False, vpu=None,
+               k2mode=K2_DEFAULT):
     """pretwiddle_p > 0: fuse the four-step twiddle w[k1, j2] =
     exp(sign*2pi*i*k1*j2/(p*n)) into the load phase, where k1 = global row
     index mod p.  Requires p | tb or tb | p (power-of-two p).
@@ -620,7 +642,7 @@ def _make_call(n: int, radices: Sequence[int], sign: int, tb: int,
     if vpu is None:
         vpu = config.pallas_vpu_last       # build-time snapshot
     kernel = partial(_kernel, tuple(radices), n, tb, pretwiddle_p,
-                     tw_lanes, store_kp, _vpu_sign(sign, vpu))
+                     tw_lanes, store_kp, _vpu_sign(sign, vpu), k2mode)
 
     data_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -691,7 +713,7 @@ def _inner_radices(n: int, radices: Sequence[int]) -> List[int]:
 
 
 def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
-                     interpret: bool, vpu=None):
+                     interpret: bool, vpu=None, k2mode=K2_DEFAULT):
     """pallas_call factory for the axis -2 form: data (pre, n, L), blocks
     (G, n, TL) — no HBM-level transposes (the lanes ARE the trailing
     dims); G leading rows amortize per-block overhead for small n."""
@@ -720,7 +742,7 @@ def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
         consts = _stage_consts(n, radices, sign, tw_lanes)
         flat_consts = [c for stage in consts for c in stage]
         kernel = partial(_kernel_inner, tuple(radices), n, g, tle,
-                         tw_lanes, vsign)
+                         tw_lanes, vsign, k2mode)
         data_spec = pl.BlockSpec((g, n, tle), lambda i, j: (i, 0, j),
                                  memory_space=pltpu.VMEM)
         const_specs = [pl.BlockSpec(c.shape, lambda i, j: (0, 0),
@@ -758,7 +780,7 @@ INNER_TILE_L = 128
 MAX_2D_POINTS = 300_000
 
 
-def _kernel_2d(rad1, rad2, n1, n2, tw1, tw2, sign, *refs):
+def _kernel_2d(rad1, rad2, n1, n2, tw1, tw2, sign, k2mode, *refs):
     """Fused 2-D form: block (1, n1, n2); FFT over BOTH trailing axes in
     one pass.  x -> T -> stages(n2) over sublanes [n1 lanes] -> T ->
     stages(n1) [n2 lanes] -> out; the 2-D transposes live in VMEM (free).
@@ -771,11 +793,11 @@ def _kernel_2d(rad1, rad2, n1, n2, tw1, tw2, sign, *refs):
     ar = jnp.transpose(xr_ref[0])          # (n2, n1)
     ai = jnp.transpose(xi_ref[0])
     ar, ai = _stages(rad2, n2, n1, crefs2, ar, ai,   # FFT along n2
-                     tw_lanes=tw2, sign=sign)
+                     tw_lanes=tw2, sign=sign, k2mode=k2mode)
     ar = jnp.transpose(ar)                 # (n1, K2)
     ai = jnp.transpose(ai)
     ar, ai = _stages(rad1, n1, n2, crefs1, ar, ai,   # FFT along n1
-                     tw_lanes=tw1, sign=sign)
+                     tw_lanes=tw1, sign=sign, k2mode=k2mode)
     yr_ref[0] = ar
     yi_ref[0] = ai
 
@@ -787,7 +809,7 @@ def _n_consts(radices) -> int:
 
 
 def _make_call_2d(n1: int, n2: int, rad1, rad2, sign: int, interpret: bool,
-                  vpu=None):
+                  vpu=None, k2mode=K2_DEFAULT):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -799,7 +821,7 @@ def _make_call_2d(n1: int, n2: int, rad1, rad2, sign: int, interpret: bool,
     if vpu is None:
         vpu = config.pallas_vpu_last       # build-time snapshot
     kernel = partial(_kernel_2d, tuple(rad1), tuple(rad2), n1, n2, tw1, tw2,
-                     _vpu_sign(sign, vpu))
+                     _vpu_sign(sign, vpu), k2mode)
 
     data_spec = pl.BlockSpec((1, n1, n2), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -865,7 +887,9 @@ def build_pallas_c2c_split_2d(n1: int, n2: int, sign: int, rdtype,
     vpu = desc1.get("vpu", desc2.get("vpu"))   # pin for fwd + lazy adjoint
     if vpu is None:
         vpu = config.pallas_vpu_last
-    call = _make_call_2d(n1, n2, rad1, rad2, sign, interpret, vpu=vpu)
+    k2mode = desc1.get("k2", desc2.get("k2", K2_DEFAULT))
+    call = _make_call_2d(n1, n2, rad1, rad2, sign, interpret, vpu=vpu,
+                         k2mode=k2mode)
     adj_call = [None]
 
     def _run(xr, xi, c):
@@ -884,6 +908,7 @@ def build_pallas_c2c_split_2d(n1: int, n2: int, sign: int, rdtype,
     def bwd(_, g):
         if adj_call[0] is None:
             adj_call[0] = _make_call_2d(n1, n2, rad1, rad2, -sign, interpret,
+                                        k2mode=k2mode,
                                         vpu=vpu)
         return _run(g[0], g[1], adj_call[0])
 
@@ -909,7 +934,9 @@ def build_pallas_c2c_split_inner(desc: Dict, sign: int, rdtype):
     vpu = desc.get("vpu")                  # pin for fwd AND lazy adjoint;
     if vpu is None:                        # desc overrides config default
         vpu = config.pallas_vpu_last
-    call = _make_call_inner(n, radices, sign, tl, interpret, vpu=vpu)
+    k2mode = desc.get("k2", K2_DEFAULT)
+    call = _make_call_inner(n, radices, sign, tl, interpret, vpu=vpu,
+                            k2mode=k2mode)
     adj_call = [None]
 
     def _run(xr, xi, c):
@@ -929,7 +956,7 @@ def build_pallas_c2c_split_inner(desc: Dict, sign: int, rdtype):
     def bwd(_, g):
         if adj_call[0] is None:
             adj_call[0] = _make_call_inner(n, radices, -sign, tl, interpret,
-                                           vpu=vpu)
+                                           vpu=vpu, k2mode=k2mode)
         return _run(g[0], g[1], adj_call[0])
 
     apply.defvjp(fwd, bwd)
@@ -969,7 +996,9 @@ def build_pallas_c2c_split(desc: Dict, sign: int, rdtype):
     vpu = desc.get("vpu")
     if vpu is None:
         vpu = config.pallas_vpu_last
-    call = _make_call(n, radices, sign, tb, interpret, vpu=vpu)
+    k2mode = desc.get("k2", K2_DEFAULT)
+    call = _make_call(n, radices, sign, tb, interpret, vpu=vpu,
+                      k2mode=k2mode)
     # VJP of an unnormalized DFT is the opposite-sign unnormalized DFT
     # (the real-split map [[A,-B],[B,A]] has transpose [[A,B],[-B,A]],
     # i.e. conj(F) = F_{-sign}); built lazily, only if grads are taken.
@@ -997,7 +1026,7 @@ def build_pallas_c2c_split(desc: Dict, sign: int, rdtype):
     def bwd(_, g):
         if adj_call[0] is None:
             adj_call[0] = _make_call(n, radices, -sign, tb, interpret,
-                                     vpu=vpu)
+                                     vpu=vpu, k2mode=k2mode)
         return _run(g[0], g[1], adj_call[0])
 
     apply.defvjp(fwd, bwd)
@@ -1009,7 +1038,7 @@ def build_pallas_c2c_split(desc: Dict, sign: int, rdtype):
 # (the rdft2-ct-hc2c codelet role, fftw/fftw_api.c:5552-6190, fused whole)
 # ---------------------------------------------------------------------------
 
-def _kernel_r2c(radices, n, tb, tw_lanes, vsign, *refs):
+def _kernel_r2c(radices, n, tb, tw_lanes, vsign, k2mode, *refs):
     """Block (tb, n) real in -> (tb, n//2+1) re/im out.
 
     The radix-2 DIT identity with real half-signals: A = DFT_m(even
@@ -1029,9 +1058,9 @@ def _kernel_r2c(radices, n, tb, tw_lanes, vsign, *refs):
     v = jnp.transpose(x_ref[...])              # (n, tb)
     v = v.reshape(m, 2 * tb)                   # row j: [x[2j,:], x[2j+1,:]]
     ar, ai = _stages(radices, m, tb, crefs, v[:, :tb], None,   # A (real)
-                     tw_lanes=tw_lanes, sign=vsign)
+                     tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode)
     br, bi = _stages(radices, m, tb, crefs, v[:, tb:], None,   # B (real)
-                     tw_lanes=tw_lanes, sign=vsign)
+                     tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode)
     afr = jnp.concatenate([ar, ar[0:1]], axis=0)          # (m+1, tb)
     afi = jnp.concatenate([ai, ai[0:1]], axis=0)
     bfr = jnp.concatenate([br, br[0:1]], axis=0)
@@ -1045,7 +1074,7 @@ def _kernel_r2c(radices, n, tb, tw_lanes, vsign, *refs):
 
 
 def _make_call_r2c(n: int, radices, tb: int, interpret: bool,
-                   vpu=None):
+                   vpu=None, k2mode=K2_DEFAULT):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1060,7 +1089,7 @@ def _make_call_r2c(n: int, radices, tb: int, interpret: bool,
     if vpu is None:
         vpu = config.pallas_vpu_last   # build-time snapshot
     kernel = partial(_kernel_r2c, tuple(radices), n, tb, tw_lanes,
-                     _vpu_sign(-1, vpu))
+                     _vpu_sign(-1, vpu), k2mode)
 
     in_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -1111,7 +1140,8 @@ def build_pallas_r2c(desc: Dict, rdtype):
     else:
         interpret = False
     call = _make_call_r2c(n, radices, tb, interpret,
-                          vpu=desc.get("vpu"))
+                          vpu=desc.get("vpu"),
+                          k2mode=desc.get("k2", K2_DEFAULT))
 
     def apply(x):
         shp = x.shape[:-1]
@@ -1136,7 +1166,7 @@ def build_pallas_r2c(desc: Dict, rdtype):
 # (imaginary parts of the DC/Nyquist bins drop out, matching pocketfft/FFTW)
 # ---------------------------------------------------------------------------
 
-def _kernel_c2r(radices, n, tb, tw_lanes, vsign, *refs):
+def _kernel_c2r(radices, n, tb, tw_lanes, vsign, k2mode, *refs):
     """Blocks: (tb, m+1) re/im in -> (tb, n) real out."""
     xr_ref, xi_ref = refs[0], refs[1]
     vr_ref, vi_ref = refs[2], refs[3]
@@ -1148,12 +1178,12 @@ def _kernel_c2r(radices, n, tb, tw_lanes, vsign, *refs):
     xi = jnp.transpose(xi_ref[...])
     xpr, xpi = xr[:m], xi[:m]                  # X' rows 0..m-1
     pr, _pi = _stages(radices, m, tb, crefs, xpr, xpi,     # P = T_+(X')
-                      tw_lanes=tw_lanes, sign=vsign)
+                      tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode)
     vr = vr_ref[...]                           # (m, 1)
     vi = vi_ref[...]
     hr, _hi = _stages(radices, m, tb, crefs,
                       xpr * vr - xpi * vi, xpr * vi + xpi * vr,
-                      tw_lanes=tw_lanes, sign=vsign)
+                      tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode)
     dc = xr[0:1]                               # Re X[0] row
     ny = xr[m:m + 1]                           # Re X[m] row
     ye = 2.0 * pr + ny - dc                    # (m, tb)
@@ -1163,7 +1193,7 @@ def _kernel_c2r(radices, n, tb, tw_lanes, vsign, *refs):
 
 
 def _make_call_c2r(n: int, radices, tb: int, interpret: bool,
-                   vpu=None):
+                   vpu=None, k2mode=K2_DEFAULT):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1178,7 +1208,7 @@ def _make_call_c2r(n: int, radices, tb: int, interpret: bool,
     if vpu is None:
         vpu = config.pallas_vpu_last       # build-time snapshot
     kernel = partial(_kernel_c2r, tuple(radices), n, tb, tw_lanes,
-                     _vpu_sign(+1, vpu))
+                     _vpu_sign(+1, vpu), k2mode)
 
     in_spec = pl.BlockSpec((tb, m + 1), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -1223,7 +1253,8 @@ def build_pallas_c2r(desc: Dict, rdtype):
     else:
         interpret = False
     call = _make_call_c2r(n, radices, tb, interpret,
-                          vpu=desc.get("vpu"))
+                          vpu=desc.get("vpu"),
+                          k2mode=desc.get("k2", K2_DEFAULT))
 
     def apply(X):
         xr = jnp.real(X)
@@ -1298,10 +1329,11 @@ def build_pallas_c2c_split_fourstep(desc: Dict, sign: int, rdtype):
     # same-session: p=32 fused 187 vs 133 ps/pt; p=128 fused 143 vs 165)
     fstore = (p == tb)
     vpu = config.pallas_vpu_last           # pin for fwd AND lazy adjoint
+    k2mode = desc.get("k2", K2_DEFAULT)
     inner = _make_call_inner(p, rad_p, sign, INNER_TILE_L, interpret,
-                             vpu=vpu)
+                             vpu=vpu, k2mode=k2mode)
     outer = _make_call(q, rad_q, sign, tb, interpret, pretwiddle_p=p,
-                       store_transposed=fstore, vpu=vpu)
+                       store_transposed=fstore, vpu=vpu, k2mode=k2mode)
     adj = [None]
 
     def _run(xr, xi, calls):
@@ -1344,10 +1376,10 @@ def build_pallas_c2c_split_fourstep(desc: Dict, sign: int, rdtype):
     def bwd(_, g):
         if adj[0] is None:
             adj[0] = (_make_call_inner(p, rad_p, -sign, INNER_TILE_L,
-                                       interpret, vpu=vpu),
+                                       interpret, vpu=vpu, k2mode=k2mode),
                       _make_call(q, rad_q, -sign, tb, interpret,
                                  pretwiddle_p=p, store_transposed=fstore,
-                                 vpu=vpu))
+                                 vpu=vpu, k2mode=k2mode))
         return _run(g[0], g[1], adj[0])
 
     apply.defvjp(fwd, bwd)

@@ -460,9 +460,9 @@ def test_fused_2d_honors_desc_radices_and_vpu(monkeypatch):
     captured = {}
     real = PS._make_call_2d
 
-    def spy(n1, n2, rad1, rad2, sign, interpret, vpu=None):
+    def spy(n1, n2, rad1, rad2, sign, interpret, vpu=None, **kw):
         captured.update(rad1=rad1, rad2=rad2, vpu=vpu)
-        return real(n1, n2, rad1, rad2, sign, interpret, vpu=vpu)
+        return real(n1, n2, rad1, rad2, sign, interpret, vpu=vpu, **kw)
 
     monkeypatch.setattr(PS, "_make_call_2d", spy)
     n = 256
