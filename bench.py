@@ -211,16 +211,23 @@ def bench_r2c_2d(n: int, batch: int = 8):
     ref = np.fft.rfftn(np.asarray(x[:1]).astype(np.float64), axes=(1, 2))
 
     flag0, np_max0 = config.pallas_vpu_last, ps.INNER_NP_MAX
-    arms = [("prod", flag0, np_max0)]
+    pack0 = config.r2c_dc_nyquist_pack
+    # pack arm: the DC/Nyquist lane-alignment pack is DEFAULT-OFF after
+    # the round-4 on-chip miscompute finding (config.r2c_dc_nyquist_pack
+    # doc); racing it verify-gated means the ~11% lane win returns by
+    # itself the day the toolchain fixes the fusion bug.
+    arms = [("prod", flag0, np_max0, pack0)]
     if jax.default_backend() == "tpu":
+        arms.append(("pack", flag0, np_max0, True))
         for tag, f in (("vpu", True), ("vpuall", "all")):
             if f != flag0:
-                arms.append((tag, f, np_max0))
-        arms.append(("vpu_wide", True, max(np_max0, n * 128)))
+                arms.append((tag, f, np_max0, pack0))
+        arms.append(("vpu_wide", True, max(np_max0, n * 128), pack0))
     cand = []
-    for tag, flag, np_max in arms:
+    for tag, flag, np_max, pack in arms:
         config.pallas_vpu_last = flag
         ps.INNER_NP_MAX = np_max
+        config.r2c_dc_nyquist_pack = pack
         try:
             ftpu.forget_wisdom()
             plan = ftpu.plan_dft_r2c((batch, n, n), axes=(1, 2),
@@ -232,6 +239,7 @@ def bench_r2c_2d(n: int, batch: int = 8):
         finally:
             config.pallas_vpu_last = flag0
             ps.INNER_NP_MAX = np_max0
+            config.r2c_dc_nyquist_pack = pack0
 
         def make(p):
             @jax.jit

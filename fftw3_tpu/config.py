@@ -69,6 +69,19 @@ strict_f64: bool = False
 #: Set 1.0 to always trust the measurement.
 measure_hysteresis = None
 
+#: DC/Nyquist column pack for rank>=2 r2c (plan.py): carries the two real
+#: columns of the halved spectrum through the non-last c2c passes in ONE
+#: complex column, restoring a 128-multiple lane count.  DEFAULT OFF
+#: (round 4): the packed composition SILENTLY MISCOMPUTES on the real
+#: chip at large sizes — (8, 2048, 2048) r2c gives rel err ~1 in the
+#: mid columns while every isolated stage (pack alone, the c2c pass on
+#: the packed width, unpack) verifies at 2e-5, and the same composition
+#: passes at (2, 2048, 2048) and (8, 512, 512).  A backend fusion
+#: miscompile, not a math bug (all CPU tests pass with the pack on).
+#: bench.py races a verify-gated pack-on arm so the lane-alignment win
+#: returns automatically if a toolchain update fixes it.
+r2c_dc_nyquist_pack: bool = False
+
 #: Surface best-effort failures instead of silently degrading.  When True,
 #: paths that normally fall back (the threads-tier parallel executor, which
 #: mirrors FFTW's silent serial fallback for loops with fewer iterations

@@ -312,7 +312,9 @@ def _make_plan_inner(problem: Problem, flags: int,
         # recovers the two spectra.  Role matched (not mechanism):
         # rdft2 buffered/ct handling of the (r0, rn/2) pair,
         # /root/reference/fftw/fftw_api.c:5552-6190.
-        pack = (n_last % 2 == 0 and n_last >= 4 and len(axes) > 1
+        from . import config as _config
+        pack = (_config.r2c_dc_nyquist_pack
+                and n_last % 2 == 0 and n_last >= 4 and len(axes) > 1
                 and last == nd - 1)
         if pack:
             half = n_last // 2
