@@ -460,6 +460,8 @@ def _make_call_df32(n, radices, sign, tb, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from . import pallas_stockham as ps
+
     consts = _df_stage_consts(n, radices, sign)
     flat_consts = [c for stage in consts for c in stage]
     const_specs = [pl.BlockSpec(c.shape, lambda i: (0, 0),
@@ -483,7 +485,12 @@ def _make_call_df32(n, radices, sign, tb, interpret):
                 bytes_accessed=int(8 * B * n * 4),
                 transcendentals=0),
         )
-        return fn(*planes, *flat_consts)
+        # kernel traced with 32-bit index semantics: the df32p boundary
+        # NEEDS ambient x64 (f64 planes outside), but tracing the all-f32
+        # kernel under x64 crashes the Mosaic compile helper (see
+        # pallas_stockham._x64_off)
+        with ps._x64_off():
+            return fn(*planes, *flat_consts)
 
     return run
 

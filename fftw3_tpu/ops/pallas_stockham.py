@@ -186,6 +186,24 @@ def applicable(n: int, rdtype) -> bool:
 FLAT_TW_MAX_BYTES = (3 << 20) // 2
 
 
+def _x64_off():
+    """Scope for TRACING/INVOKING Pallas kernels: 32-bit index semantics
+    regardless of the ambient jax_enable_x64.  MEASURED (round 4): any
+    fresh Mosaic compile of these kernels traced under x64 crashes
+    tpu_compile_helper (HTTP 500, exit 1) — the identical kernel traced
+    with x64 off compiles and verifies.  The kernels are all-f32 anyway,
+    so 32-bit tracing changes nothing numerically; it also protects
+    users who enable x64 globally (e.g. for f64 oracles) from losing the
+    whole Pallas tier to compiler crashes.  CONDITIONAL on the ambient
+    flag so the default (x64 off) path is bit-identical to the pre-wrap
+    code — entering the context unconditionally perturbed the jit cache
+    key and forced recompiles of long-cached kernels."""
+    import contextlib
+    if jax.config.jax_enable_x64:
+        return jax.enable_x64(False)
+    return contextlib.nullcontext()
+
+
 def _flat_tw_lanes(n: int, radices: Sequence[int], lanes: int):
     """Lane count to replicate stage twiddles to, or 0 for broadcast form."""
     if len(radices) < 2:
@@ -674,7 +692,8 @@ def _make_call(n: int, radices: Sequence[int], sign: int, tb: int,
                 bytes_accessed=int(4 * B * n * 4),
                 transcendentals=0),
         )
-        return fn(xr, xi, *flat_consts)
+        with _x64_off():
+            return fn(xr, xi, *flat_consts)
 
     return run
 
@@ -767,7 +786,8 @@ def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
     def run(xr, xi):
         pre, _, L = xr.shape
         fn, consts = make_fn(pre, L)
-        return fn(xr, xi, *consts)
+        with _x64_off():
+            return fn(xr, xi, *consts)
 
     return run
 
@@ -845,7 +865,8 @@ def _make_call_2d(n1: int, n2: int, rad1, rad2, sign: int, interpret: bool,
                 bytes_accessed=int(4 * pre * n1 * n2 * 4),
                 transcendentals=0),
         )
-        return fn(xr, xi, *flat_consts)
+        with _x64_off():
+            return fn(xr, xi, *flat_consts)
 
     return run
 
@@ -1114,7 +1135,8 @@ def _make_call_r2c(n: int, radices, tb: int, interpret: bool,
                 bytes_accessed=int(4 * B * n * 2),
                 transcendentals=0),
         )
-        return fn(x, *flat_consts)
+        with _x64_off():
+            return fn(x, *flat_consts)
 
     return run
 
@@ -1232,7 +1254,8 @@ def _make_call_c2r(n: int, radices, tb: int, interpret: bool,
                 bytes_accessed=int(4 * B * n * 2),
                 transcendentals=0),
         )
-        return fn(xr, xi, *flat_consts)
+        with _x64_off():
+            return fn(xr, xi, *flat_consts)
 
     return run
 
