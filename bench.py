@@ -590,9 +590,20 @@ def _bench_f64_1024():
     planner's ESTIMATE choice (the df32 XLA pipeline — per-stage HBM
     sweeps of the four f32 planes) against the fused Pallas df32 kernel
     (`df32p`, one HBM pass), both verified at the 1e-10 double contract.
-    A df32p Mosaic compile failure just drops the arm."""
+    A df32p Mosaic compile failure just drops the arm.  x64 is restored
+    OFF afterwards: ambient x64 leaked into every later suite config in
+    the first round-4 driver run and (pre-_x64_off fix) crashed their
+    Pallas compiles."""
     import jax
     jax.config.update("jax_enable_x64", True)
+    try:
+        return _bench_f64_1024_inner()
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def _bench_f64_1024_inner():
+    import jax
     import jax.numpy as jnp
 
     import fftw3_tpu as ftpu

@@ -42,7 +42,8 @@ from .threads import (  # noqa: F401
     plan_with_nthreads, planner_nthreads)
 from .planner import the_planner  # noqa: F401
 from .ops.dd64 import (  # noqa: F401  (fftwl_/fftwq_ tier: PARITY §2.13)
-    DdPlan, plan_dft_1d_l, plan_dft_1d_q)
+    DdPlan, DdPlanNd, plan_dft_1d_l, plan_dft_1d_q, plan_dft_l,
+    plan_dft_q)
 
 __version__ = "0.1.0"
 from . import config  # noqa: F401

@@ -198,6 +198,48 @@ class DdPlan:
                 f"radices={df32_radices(self.n)})")
 
 
+class DdPlanNd:
+    """Rank-n dd64 plan: one DdPlan per transform axis, applied along the
+    last axis via moveaxis (every axis pass stays a batched last-axis
+    transform — the same composition the f32/f64 tiers use)."""
+
+    def __init__(self, shape, axes=None, sign: int = -1):
+        shape = tuple(int(s) for s in shape)
+        nd = len(shape)
+        axes = tuple(a % nd for a in
+                     (range(nd) if axes is None else axes))
+        self.shape = shape
+        self.axes = axes
+        self.sign = sign
+        self._plans = {a: DdPlan(shape[a], sign) for a in axes}
+
+        def apply_dd(rh, rl, ih, il):
+            x = (rh, rl, ih, il)
+            for a in axes:
+                x = tuple(jnp.moveaxis(v, a, -1) for v in x)
+                x = self._plans[a].apply_dd(*x)
+                x = tuple(jnp.moveaxis(v, -1, a) for v in x)
+            return x
+
+        self.apply_dd = apply_dd
+        self._jit = jax.jit(apply_dd)
+
+    def execute(self, x: np.ndarray) -> np.ndarray:
+        xl = np.asarray(x).astype(np.clongdouble)
+        rh = xl.real.astype(np.float64)
+        ih = xl.imag.astype(np.float64)
+        rl = (xl.real - rh.astype(np.longdouble)).astype(np.float64)
+        il = (xl.imag - ih.astype(np.longdouble)).astype(np.float64)
+        yrh, yrl, yih, yil = (np.asarray(v) for v in
+                              self._jit(rh, rl, ih, il))
+        yr = yrh.astype(np.longdouble) + yrl.astype(np.longdouble)
+        yi = yih.astype(np.longdouble) + yil.astype(np.longdouble)
+        return (yr + 1j * yi).astype(np.clongdouble)
+
+    def __repr__(self):
+        return f"(dd64-nd {self.shape} axes={self.axes} sign={self.sign})"
+
+
 def plan_dft_1d_l(n: int, sign: int = -1) -> DdPlan:
     """fftwl_plan_dft_1d analog (x86 long double: eps 1.1e-19 — the dd64
     tier's ~1e-30 clears it by 11 orders)."""
@@ -209,3 +251,11 @@ def plan_dft_1d_q(n: int, sign: int = -1) -> DdPlan:
     ~1e-30 — the double-double representation's limit, the same trade
     CPU double-double packages make vs libquadmath)."""
     return DdPlan(n, sign)
+
+
+def plan_dft_l(shape, axes=None, sign: int = -1) -> DdPlanNd:
+    """fftwl_plan_dft / _2d / _3d analog: rank-n long-double c2c."""
+    return DdPlanNd(shape, axes, sign)
+
+
+plan_dft_q = plan_dft_l

@@ -116,3 +116,20 @@ def test_dd64_gates():
         ftpu.plan_dft_1d_q(14)              # 7-smooth: not supported
     assert ftpu.DdPlan(16).flops()[0] > 0
     assert "dd64" in repr(ftpu.plan_dft_1d_l(16))
+
+
+def test_dd64_nd(rng):
+    """Rank-2 long-double plan: coarse oracle vs numpy (the fine per-axis
+    accuracy is covered by test_dd64_quad_accuracy; here the composition
+    and the clongdouble boundary)."""
+    x = (rng.standard_normal((12, 16)) + 1j * rng.standard_normal((12, 16))
+         ).astype(np.clongdouble)
+    y = ftpu.plan_dft_l((12, 16)).execute(x)
+    ref = np.fft.fft2(x.astype(np.complex128))
+    assert np.max(np.abs(y.astype(np.complex128) - ref)) \
+        / np.max(np.abs(ref)) < 1e-12
+    # axes subset + leading batch dim via apply_dd
+    p = ftpu.plan_dft_q((4, 9, 8), axes=(1, 2))
+    planes = tuple(rng.standard_normal((4, 9, 8)) for _ in range(4))
+    out = jax.jit(p.apply_dd)(*planes)
+    assert out[0].shape == (4, 9, 8)
