@@ -399,31 +399,31 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
         return all(ps._vpu_last_ok(r, 1) for r in rad)   # 2-5-smooth <=64
 
     rad0 = ps.choose_radices(n)
-    # k2 axis (round 4): "all" = the fused cross pass on EVERY stage —
-    # the round-2/3 headline kernel, which the current toolchain can only
-    # run from cache (fresh compiles crash tpu_compile_helper; see
-    # pallas_stockham.K2_DEFAULT) — vs "first" = the compile-safe default.
-    # Racing both keeps the cached 40 ps/pt kernel while it lives and
-    # measures what the k2 restriction actually costs.
-    arms = [("prod", False, rad0, "first"),
-            ("prodk2all", False, rad0, "all"),
-            ("vpu", True, rad0, "first")]
+    # Arms (round 4): prod = presplit-G kernel (host-split bf16 Gh/GG
+    # operands, fused k2 cross pass on every stage — measured 40.9 ps/pt
+    # vs the legacy kernel's 52.4 same-session); nosplit = the legacy
+    # in-kernel-cast kernel (the round-2/3 headline, only runnable from
+    # compile cache — kept as the A/B record + insurance); vpu arms as
+    # before.  Tuples: (tag, vpu, radices, k2, gsplit).
+    arms = [("prod", False, rad0, "first", True),
+            ("nosplit", False, rad0, "all", False),
+            ("vpu", True, rad0, "first", True)]
     if _all_ok(rad0):
-        arms.append(("vpuall", "all", rad0, "first"))
+        arms.append(("vpuall", "all", rad0, "first", True))
     for alt in ps.alternative_radices(n, k=6):
         if alt == rad0 or len(alt) != 2 or len(arms) >= 7:
             continue
         if _all_ok(alt):
-            arms.append((f"vpuall{alt}", "all", alt, "first"))
-        elif ps._vpu_last_ok(alt[1], 1):
-            arms.append((f"vpu{alt}", True, alt, "first"))
+            arms.append((f"vpuall{alt}", "all", alt, "first", True))
+        else:
+            arms.append((f"ps{alt}", False, alt, "first", True))
     fns = {}
-    for tag, flag, rad, k2 in arms:
+    for tag, flag, rad, k2, gs in arms:
         try:
             fns[tag] = jax.jit(ps.build_pallas_c2c_split(
                 {"alg": "pallas", "n": n, "radices": list(rad),
-                 "tile_b": ps.tile_for(n), "vpu": flag, "k2": k2},
-                -1, np.float32))
+                 "tile_b": ps.tile_for(n), "vpu": flag, "k2": k2,
+                 "gsplit": gs}, -1, np.float32))
         except Exception as exc:                       # noqa: BLE001
             print(f"# autotune {tag}: build FAIL {str(exc)[:100]}",
                   file=sys.stderr)
@@ -433,7 +433,7 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
     vi = rng.standard_normal((256, n)).astype(np.float32)
     ref = np.fft.fft((vr + 1j * vi).astype(np.complex128), axis=1)
     good = []
-    for tag, flag, rad, k2 in arms:
+    for tag, flag, rad, k2, gs in arms:
         if tag not in fns:
             continue
         try:
@@ -441,7 +441,7 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
             err = _relerr(np.asarray(yr) + 1j * np.asarray(yi), ref)
             print(f"# autotune {tag}: relerr={err:.1e}", file=sys.stderr)
             if err < VERIFY_TOL:
-                good.append((tag, flag, rad, k2))
+                good.append((tag, flag, rad, k2, gs))
         except Exception as exc:                       # noqa: BLE001
             print(f"# autotune {tag}: verify FAIL {str(exc)[:100]}",
                   file=sys.stderr)
@@ -450,14 +450,14 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
 
     b_lo, b_hi = 8192, 24576
     configs = []
-    for tag, _, _, _ in good:
+    for tag, _, _, _, _ in good:
         for b in (b_lo, b_hi):
             xr = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
             xi = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
             configs.append((fns[tag], (xr, xi)))
     ts = timing.time_chained_multi(configs, k1=4, k2=16, reps=7)
     slopes = {}
-    for i, (tag, _, _, _) in enumerate(good):
+    for i, (tag, _, _, _, _) in enumerate(good):
         s = (ts[2 * i + 1] - ts[2 * i]) / ((b_hi - b_lo) * n)
         slopes[tag] = s
         print(f"# autotune {tag}: {s*1e12:.1f} ps/pt", file=sys.stderr)
@@ -465,7 +465,7 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
     if best_tag == "prod":
         print("# autotune: keeping prod defaults", file=sys.stderr)
         return
-    _, flag, rad, k2 = next(a for a in good if a[0] == best_tag)
+    _, flag, rad, k2, gs = next(a for a in good if a[0] == best_tag)
     config.pallas_vpu_last = flag
     from fftw3_tpu.planner import the_planner
     key = the_planner._key("c2c", n, np.float32, batch)
@@ -474,10 +474,11 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
     # choice)
     the_planner.wisdom[key] = {
         "desc": {"alg": "pallas", "n": n, "radices": list(rad),
-                 "tile_b": ps.tile_for(n), "vpu": flag, "k2": k2},
+                 "tile_b": ps.tile_for(n), "vpu": flag, "k2": k2,
+                 "gsplit": gs},
         "patience": 99, "cost": 0.0}
     print(f"# autotune: selected {best_tag} "
-          f"(vpu_last={flag}, radices={list(rad)}, k2={k2})",
+          f"(vpu_last={flag}, radices={list(rad)}, k2={k2}, gsplit={gs})",
           file=sys.stderr)
 
 

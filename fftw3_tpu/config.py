@@ -27,6 +27,15 @@ pallas_mode: str = "auto"
 #: rel err ~1e-7, slower)
 pallas_matmul: str = "bf16x3"
 
+#: Ship the bf16 hi/lo split of every stage matrix G as host-prepared
+#: operands (Gh + pre-concatenated [Gh|Gl]) instead of casting f32 G
+#: inside the kernel each grid step.  Measured round 4 (same-session
+#: interleaved slopes, n=1024 [64,16]): 52.4 -> 40.9 ps/pt (-22%), and
+#: it removes the concat-of-casts whose fresh Mosaic compile crashes on
+#: done>1 stages, re-enabling the fused k2 cross pass everywhere.
+#: Applies only under pallas_matmul == "bf16x3".
+pallas_presplit_g: bool = True
+
 #: Run the LAST Stockham stage of the fused Pallas kernels as pure-f32
 #: VPU butterflies (radix-4/2 adds + a handful of twiddle cmuls) instead
 #: of the bf16 hi/lo MXU matmul.  The round-3 ablation (BASELINE.md)

@@ -215,7 +215,7 @@ def _flat_tw_lanes(n: int, radices: Sequence[int], lanes: int):
 
 
 def _stage_consts(n: int, radices: Sequence[int], sign: int,
-                  tw_lanes: int = 0):
+                  tw_lanes: int = 0, presplit: bool = False):
     """Host-side f64-accurate constants per stage: the stacked complex
     stage matrix G = [[Fr, -Fi], [Fi, Fr]] (2p, 2p), then the twiddle.
 
@@ -224,6 +224,14 @@ def _stage_consts(n: int, radices: Sequence[int], sign: int,
     6 of a per-product Karatsuba (the MXU is K-underutilized at these
     radices, so the doubled K is nearly free; measured 57 -> 39 ps/pt at
     n=1024, sandwiched A/B/A).
+
+    ``presplit`` (round 4, default on for bf16x3): ship the bf16 hi/lo
+    split of G as TWO host-prepared operands — Gh (2p, 2p) bf16 and the
+    pre-concatenated GG = [Gh | Gl] (2p, 4p) bf16 — instead of one f32 G
+    the kernel casts every grid step.  Measured same-session at n=1024
+    [64,16]: 52.4 -> 40.9 ps/pt (-22%) AND it removes the in-kernel
+    concat-of-casts whose fresh Mosaic compile crashes on done>1 stages
+    (K2_DEFAULT note), re-enabling the fused cross pass everywhere.
 
     Twiddle laid out [k1, j2] to broadcast over (p, q, done, TB) directly,
     or — with ``tw_lanes = L > 0`` — pre-replicated to the flat (p, q*L)
@@ -237,8 +245,15 @@ def _stage_consts(n: int, radices: Sequence[int], sign: int,
         F = matrices.dft_matrix(p, sign)
         Fr = np.ascontiguousarray(F.real)
         Fi = np.ascontiguousarray(F.imag)
-        G = np.block([[Fr, -Fi], [Fi, Fr]])
-        consts = [np.ascontiguousarray(G, np.float32)]
+        G = np.block([[Fr, -Fi], [Fi, Fr]]).astype(np.float32)
+        if presplit:
+            Gh32 = G.astype(jnp.bfloat16).astype(np.float32)
+            Gh = np.ascontiguousarray(G.astype(jnp.bfloat16))
+            Gl = np.ascontiguousarray((G - Gh32).astype(jnp.bfloat16))
+            consts = [Gh, np.ascontiguousarray(
+                np.concatenate([Gh, Gl], axis=1))]
+        else:
+            consts = [np.ascontiguousarray(G, np.float32)]
         if q > 1:
             e = np.mod(np.outer(np.arange(p, dtype=np.int64),
                                 np.arange(q, dtype=np.int64)), rest)
@@ -313,6 +328,47 @@ def _gmm(G, X, k2=True):
         XX = jnp.concatenate([Xl, Xh], axis=0)
         return d(Gh, Xh) + d(GG, XX)
     return d(Gh, Xh) + (d(Gh, Xl) + d(Gl, Xh))
+
+
+def _use_presplit() -> bool:
+    """Build-time snapshot: presplit G operands only make sense for the
+    hand-rolled bf16 hi/lo arithmetic (the HIGHEST path keeps f32 G)."""
+    return config.pallas_presplit_g and config.pallas_matmul == "bf16x3"
+
+
+def _gmm_ps(Gh, GG, X, k2=True):
+    """Presplit form of _gmm: Gh (2p, 2p) bf16 and GG = [Gh | Gl]
+    (2p, 4p) bf16 arrive as host-prepared VMEM operands — zero G-side
+    cast/concat work in the kernel, and the k2 cross pass compiles on
+    every stage (the done>1 crash was the concat of in-kernel casts)."""
+    Xh = X.astype(jnp.bfloat16)
+    Xl = (X - Xh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    if k2:
+        XX = jnp.concatenate([Xl, Xh], axis=0)
+        return d(Gh, Xh) + d(GG, XX)
+    p2 = Gh.shape[1]
+    Gl = GG[:, p2:]
+    return d(Gh, Xh) + (d(Gh, Xl) + d(Gl, Xh))
+
+
+def _gmm_ps_real(Gh, GG, X, p):
+    """Presplit contraction for REAL input (r2c kernels' stages): only
+    the left p columns of each split participate; contiguous slices of
+    the bf16 operands, 3-pass form (the half-real first stage is cheap
+    and slicing the pre-concatenated GG for k2 would need a non-
+    contiguous gather)."""
+    Xh = X.astype(jnp.bfloat16)
+    Xl = (X - Xh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    p2 = Gh.shape[1]
+    Ghl = Gh[:, :p]
+    Gll = GG[:, p2:p2 + p]
+    return d(Ghl, Xh) + (d(Ghl, Xl) + d(Gll, Xh))
 
 
 def _vpu_dft(xr, xi, m, sign):
@@ -467,7 +523,7 @@ def _vpu_sign(sign: int, vpu) -> int:
 
 
 def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0, sign=0,
-            k2mode=K2_DEFAULT):
+            k2mode=K2_DEFAULT, presplit=False):
     """Shared Stockham stage loop on (n, TB) values (transform index in
     major/sublane dims, TB lanes).  ``tw_lanes == tb`` selects the flat
     first-stage twiddle (see FLAT_TW_MAX_BYTES).
@@ -496,10 +552,11 @@ def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0, sign=0,
         if (st.shape[0] == 2 and _vpu_last_ok(p, sign)
                 and (q == 1 or vpu_all)):
             # stage as pure-f32 VPU butterflies (no G matmul, no hi/lo
-            # casts); crefs hold the unused G — skip it.  The (p, M)
-            # view matches the matmul's contraction layout exactly, so
-            # the twiddle/permute code below is shared.
-            ci += 1
+            # casts); crefs hold the unused G — skip it (two operands
+            # under presplit).  The (p, M) view matches the matmul's
+            # contraction layout exactly, so the twiddle/permute code
+            # below is shared.
+            ci += 2 if presplit else 1
             st2 = st.reshape(2, p, M)
             yr, yi = _vpu_dft(st2[0], st2[1], p, tsign)
             if q == 1:
@@ -509,6 +566,19 @@ def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0, sign=0,
                 rest = q
                 continue
             y = jnp.concatenate([yr, yi], 0)          # (2p, M)
+        elif presplit:
+            Gh = crefs[ci][...]
+            GG = crefs[ci + 1][...]
+            ci += 2
+            # presplit operands kill the in-kernel G cast+concat, so the
+            # k2 cross pass is compile-safe on EVERY stage — "first"
+            # means "all" here (only "off" still disables it)
+            k2ok = k2mode != "off"
+            if st.shape[0] == 1:
+                y = _gmm_ps_real(Gh, GG, st.reshape(p, M), p)
+            else:
+                y = _gmm_ps(Gh, GG, st.reshape(2 * p, M),
+                            k2=(k2ok and 4 * p * M <= K2_MAX_BYTES))
         else:
             G = crefs[ci][...]
             ci += 1
@@ -558,7 +628,7 @@ def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0, sign=0,
 
 
 def _kernel(radices, n, tb, pretwiddle, tw_lanes, store_kp, sign, k2mode,
-            *refs):
+            presplit, *refs):
     """Last-axis form: blocks (TB, n); transpose to batch-in-lanes and
     back inside VMEM (measured: the 2-D transposes are free).
 
@@ -582,7 +652,8 @@ def _kernel(radices, n, tb, pretwiddle, tw_lanes, store_kp, sign, k2mode,
         xi = xi3.reshape(tb, n)
     ar, ai = _stages(radices, n, tb, crefs,
                      jnp.transpose(xr), jnp.transpose(xi),
-                     tw_lanes=tw_lanes, sign=sign, k2mode=k2mode)
+                     tw_lanes=tw_lanes, sign=sign, k2mode=k2mode,
+                     presplit=presplit)
     if store_kp:
         # four-step fused store: rows are (b, k1) pairs with k1 = row mod
         # p; emit (g, n, p) blocks so the (B, p, q) -> (B, q, p) output
@@ -598,7 +669,8 @@ def _kernel(radices, n, tb, pretwiddle, tw_lanes, store_kp, sign, k2mode,
     yi_ref[...] = jnp.transpose(ai)
 
 
-def _kernel_inner(radices, n, g, tl, tw_lanes, sign, k2mode, *refs):
+def _kernel_inner(radices, n, g, tl, tw_lanes, sign, k2mode, presplit,
+                  *refs):
     """Axis -2 form: blocks (G, n, TL); the trailing dims already are the
     lanes.  G leading rows share one grid step (small n would otherwise
     drown in per-block overhead); they fold into the lane dimension via a
@@ -607,14 +679,16 @@ def _kernel_inner(radices, n, g, tl, tw_lanes, sign, k2mode, *refs):
     yr_ref, yi_ref = refs[-2], refs[-1]
     if g == 1:
         ar, ai = _stages(radices, n, tl, refs[2:-2], xr_ref[0], xi_ref[0],
-                         tw_lanes=tw_lanes, sign=sign, k2mode=k2mode)
+                         tw_lanes=tw_lanes, sign=sign, k2mode=k2mode,
+                         presplit=presplit)
         yr_ref[0] = ar
         yi_ref[0] = ai
         return
     xr = jnp.transpose(xr_ref[...], (1, 0, 2)).reshape(n, g * tl)
     xi = jnp.transpose(xi_ref[...], (1, 0, 2)).reshape(n, g * tl)
     ar, ai = _stages(radices, n, g * tl, refs[2:-2], xr, xi,
-                     tw_lanes=tw_lanes, sign=sign, k2mode=k2mode)
+                     tw_lanes=tw_lanes, sign=sign, k2mode=k2mode,
+                     presplit=presplit)
     yr_ref[...] = jnp.transpose(ar.reshape(n, g, tl), (1, 0, 2))
     yi_ref[...] = jnp.transpose(ai.reshape(n, g, tl), (1, 0, 2))
 
@@ -622,7 +696,7 @@ def _kernel_inner(radices, n, g, tl, tw_lanes, sign, k2mode, *refs):
 def _make_call(n: int, radices: Sequence[int], sign: int, tb: int,
                interpret: bool, pretwiddle_p: int = 0,
                store_transposed: bool = False, vpu=None,
-               k2mode=K2_DEFAULT):
+               k2mode=K2_DEFAULT, gsplit=None):
     """pretwiddle_p > 0: fuse the four-step twiddle w[k1, j2] =
     exp(sign*2pi*i*k1*j2/(p*n)) into the load phase, where k1 = global row
     index mod p.  Requires p | tb or tb | p (power-of-two p).
@@ -634,7 +708,8 @@ def _make_call(n: int, radices: Sequence[int], sign: int, tb: int,
     from jax.experimental.pallas import tpu as pltpu
 
     tw_lanes = _flat_tw_lanes(n, radices, tb)
-    consts = _stage_consts(n, radices, sign, tw_lanes)
+    presplit = _use_presplit() if gsplit is None else bool(gsplit)
+    consts = _stage_consts(n, radices, sign, tw_lanes, presplit=presplit)
     flat_consts = [c for stage in consts for c in stage]
     const_specs = [pl.BlockSpec(c.shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
@@ -660,7 +735,8 @@ def _make_call(n: int, radices: Sequence[int], sign: int, tb: int,
     if vpu is None:
         vpu = config.pallas_vpu_last       # build-time snapshot
     kernel = partial(_kernel, tuple(radices), n, tb, pretwiddle_p,
-                     tw_lanes, store_kp, _vpu_sign(sign, vpu), k2mode)
+                     tw_lanes, store_kp, _vpu_sign(sign, vpu), k2mode,
+                     presplit)
 
     data_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -732,7 +808,8 @@ def _inner_radices(n: int, radices: Sequence[int]) -> List[int]:
 
 
 def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
-                     interpret: bool, vpu=None, k2mode=K2_DEFAULT):
+                     interpret: bool, vpu=None, k2mode=K2_DEFAULT,
+                     gsplit=None):
     """pallas_call factory for the axis -2 form: data (pre, n, L), blocks
     (G, n, TL) — no HBM-level transposes (the lanes ARE the trailing
     dims); G leading rows amortize per-block overhead for small n."""
@@ -742,6 +819,7 @@ def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
     if vpu is None:
         vpu = config.pallas_vpu_last       # build-time snapshot
     vsign = _vpu_sign(sign, vpu)
+    presplit = _use_presplit() if gsplit is None else bool(gsplit)
 
     def make_fn(pre, L):
         # budget an (n x lanes) working set ~ the 1-D kernel's: first widen
@@ -758,10 +836,11 @@ def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
             g //= 2
         lanes = tle if g == 1 else g * tle
         tw_lanes = _flat_tw_lanes(n, radices, lanes)
-        consts = _stage_consts(n, radices, sign, tw_lanes)
+        consts = _stage_consts(n, radices, sign, tw_lanes,
+                               presplit=presplit)
         flat_consts = [c for stage in consts for c in stage]
         kernel = partial(_kernel_inner, tuple(radices), n, g, tle,
-                         tw_lanes, vsign, k2mode)
+                         tw_lanes, vsign, k2mode, presplit)
         data_spec = pl.BlockSpec((g, n, tle), lambda i, j: (i, 0, j),
                                  memory_space=pltpu.VMEM)
         const_specs = [pl.BlockSpec(c.shape, lambda i, j: (0, 0),
@@ -800,48 +879,56 @@ INNER_TILE_L = 128
 MAX_2D_POINTS = 300_000
 
 
-def _kernel_2d(rad1, rad2, n1, n2, tw1, tw2, sign, k2mode, *refs):
+def _kernel_2d(rad1, rad2, n1, n2, tw1, tw2, sign, k2mode, presplit,
+               *refs):
     """Fused 2-D form: block (1, n1, n2); FFT over BOTH trailing axes in
     one pass.  x -> T -> stages(n2) over sublanes [n1 lanes] -> T ->
     stages(n1) [n2 lanes] -> out; the 2-D transposes live in VMEM (free).
     Constant refs: stage consts for n2, then for n1."""
     xr_ref, xi_ref = refs[0], refs[1]
     yr_ref, yi_ref = refs[-2], refs[-1]
-    ncr2 = _n_consts(rad2)
+    ncr2 = _n_consts(rad2, presplit)
     crefs2 = refs[2:2 + ncr2]
     crefs1 = refs[2 + ncr2:-2]
     ar = jnp.transpose(xr_ref[0])          # (n2, n1)
     ai = jnp.transpose(xi_ref[0])
     ar, ai = _stages(rad2, n2, n1, crefs2, ar, ai,   # FFT along n2
-                     tw_lanes=tw2, sign=sign, k2mode=k2mode)
+                     tw_lanes=tw2, sign=sign, k2mode=k2mode,
+                     presplit=presplit)
     ar = jnp.transpose(ar)                 # (n1, K2)
     ai = jnp.transpose(ai)
     ar, ai = _stages(rad1, n1, n2, crefs1, ar, ai,   # FFT along n1
-                     tw_lanes=tw1, sign=sign, k2mode=k2mode)
+                     tw_lanes=tw1, sign=sign, k2mode=k2mode,
+                     presplit=presplit)
     yr_ref[0] = ar
     yi_ref[0] = ai
 
 
-def _n_consts(radices) -> int:
+def _n_consts(radices, presplit: bool = False) -> int:
     """Number of constant arrays a radix schedule consumes (one stacked G
-    per stage + twiddle pair for every stage but the last)."""
-    return 3 * len(radices) - 2
+    — or the Gh/GG pair under presplit — per stage + twiddle pair for
+    every stage but the last)."""
+    per_g = 2 if presplit else 1
+    return (per_g + 2) * len(radices) - 2
 
 
 def _make_call_2d(n1: int, n2: int, rad1, rad2, sign: int, interpret: bool,
-                  vpu=None, k2mode=K2_DEFAULT):
+                  vpu=None, k2mode=K2_DEFAULT, gsplit=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     tw2 = _flat_tw_lanes(n2, rad2, n1)
     tw1 = _flat_tw_lanes(n1, rad1, n2)
-    c2 = [c for st in _stage_consts(n2, rad2, sign, tw2) for c in st]
-    c1 = [c for st in _stage_consts(n1, rad1, sign, tw1) for c in st]
+    presplit = _use_presplit() if gsplit is None else bool(gsplit)
+    c2 = [c for st in _stage_consts(n2, rad2, sign, tw2,
+                                    presplit=presplit) for c in st]
+    c1 = [c for st in _stage_consts(n1, rad1, sign, tw1,
+                                    presplit=presplit) for c in st]
     flat_consts = c2 + c1
     if vpu is None:
         vpu = config.pallas_vpu_last       # build-time snapshot
     kernel = partial(_kernel_2d, tuple(rad1), tuple(rad2), n1, n2, tw1, tw2,
-                     _vpu_sign(sign, vpu), k2mode)
+                     _vpu_sign(sign, vpu), k2mode, presplit)
 
     data_spec = pl.BlockSpec((1, n1, n2), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -909,8 +996,9 @@ def build_pallas_c2c_split_2d(n1: int, n2: int, sign: int, rdtype,
     if vpu is None:
         vpu = config.pallas_vpu_last
     k2mode = desc1.get("k2", desc2.get("k2", K2_DEFAULT))
+    gsplit = desc1.get("gsplit", desc2.get("gsplit"))
     call = _make_call_2d(n1, n2, rad1, rad2, sign, interpret, vpu=vpu,
-                         k2mode=k2mode)
+                         k2mode=k2mode, gsplit=gsplit)
     adj_call = [None]
 
     def _run(xr, xi, c):
@@ -929,7 +1017,7 @@ def build_pallas_c2c_split_2d(n1: int, n2: int, sign: int, rdtype,
     def bwd(_, g):
         if adj_call[0] is None:
             adj_call[0] = _make_call_2d(n1, n2, rad1, rad2, -sign, interpret,
-                                        k2mode=k2mode,
+                                        k2mode=k2mode, gsplit=gsplit,
                                         vpu=vpu)
         return _run(g[0], g[1], adj_call[0])
 
@@ -956,8 +1044,9 @@ def build_pallas_c2c_split_inner(desc: Dict, sign: int, rdtype):
     if vpu is None:                        # desc overrides config default
         vpu = config.pallas_vpu_last
     k2mode = desc.get("k2", K2_DEFAULT)
+    gsplit = desc.get("gsplit")
     call = _make_call_inner(n, radices, sign, tl, interpret, vpu=vpu,
-                            k2mode=k2mode)
+                            k2mode=k2mode, gsplit=gsplit)
     adj_call = [None]
 
     def _run(xr, xi, c):
@@ -977,7 +1066,8 @@ def build_pallas_c2c_split_inner(desc: Dict, sign: int, rdtype):
     def bwd(_, g):
         if adj_call[0] is None:
             adj_call[0] = _make_call_inner(n, radices, -sign, tl, interpret,
-                                           vpu=vpu, k2mode=k2mode)
+                                           vpu=vpu, k2mode=k2mode,
+                                           gsplit=gsplit)
         return _run(g[0], g[1], adj_call[0])
 
     apply.defvjp(fwd, bwd)
@@ -1018,8 +1108,9 @@ def build_pallas_c2c_split(desc: Dict, sign: int, rdtype):
     if vpu is None:
         vpu = config.pallas_vpu_last
     k2mode = desc.get("k2", K2_DEFAULT)
+    gsplit = desc.get("gsplit")
     call = _make_call(n, radices, sign, tb, interpret, vpu=vpu,
-                      k2mode=k2mode)
+                      k2mode=k2mode, gsplit=gsplit)
     # VJP of an unnormalized DFT is the opposite-sign unnormalized DFT
     # (the real-split map [[A,-B],[B,A]] has transpose [[A,B],[-B,A]],
     # i.e. conj(F) = F_{-sign}); built lazily, only if grads are taken.
@@ -1047,7 +1138,8 @@ def build_pallas_c2c_split(desc: Dict, sign: int, rdtype):
     def bwd(_, g):
         if adj_call[0] is None:
             adj_call[0] = _make_call(n, radices, -sign, tb, interpret,
-                                     vpu=vpu, k2mode=k2mode)
+                                     vpu=vpu, k2mode=k2mode,
+                                     gsplit=gsplit)
         return _run(g[0], g[1], adj_call[0])
 
     apply.defvjp(fwd, bwd)
@@ -1059,7 +1151,8 @@ def build_pallas_c2c_split(desc: Dict, sign: int, rdtype):
 # (the rdft2-ct-hc2c codelet role, fftw/fftw_api.c:5552-6190, fused whole)
 # ---------------------------------------------------------------------------
 
-def _kernel_r2c(radices, n, tb, tw_lanes, vsign, k2mode, *refs):
+def _kernel_r2c(radices, n, tb, tw_lanes, vsign, k2mode, presplit,
+                *refs):
     """Block (tb, n) real in -> (tb, n//2+1) re/im out.
 
     The radix-2 DIT identity with real half-signals: A = DFT_m(even
@@ -1079,9 +1172,11 @@ def _kernel_r2c(radices, n, tb, tw_lanes, vsign, k2mode, *refs):
     v = jnp.transpose(x_ref[...])              # (n, tb)
     v = v.reshape(m, 2 * tb)                   # row j: [x[2j,:], x[2j+1,:]]
     ar, ai = _stages(radices, m, tb, crefs, v[:, :tb], None,   # A (real)
-                     tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode)
+                     tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode,
+                     presplit=presplit)
     br, bi = _stages(radices, m, tb, crefs, v[:, tb:], None,   # B (real)
-                     tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode)
+                     tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode,
+                     presplit=presplit)
     afr = jnp.concatenate([ar, ar[0:1]], axis=0)          # (m+1, tb)
     afi = jnp.concatenate([ai, ai[0:1]], axis=0)
     bfr = jnp.concatenate([br, br[0:1]], axis=0)
@@ -1095,13 +1190,14 @@ def _kernel_r2c(radices, n, tb, tw_lanes, vsign, k2mode, *refs):
 
 
 def _make_call_r2c(n: int, radices, tb: int, interpret: bool,
-                   vpu=None, k2mode=K2_DEFAULT):
+                   vpu=None, k2mode=K2_DEFAULT, gsplit=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     m = n // 2
     tw_lanes = _flat_tw_lanes(m, radices, tb)
-    consts = _stage_consts(m, radices, -1, tw_lanes)
+    presplit = _use_presplit() if gsplit is None else bool(gsplit)
+    consts = _stage_consts(m, radices, -1, tw_lanes, presplit=presplit)
     k = np.arange(m + 1, dtype=np.int64)
     w = np.exp(-2j * np.pi * k / n)
     flat_consts = [np.ascontiguousarray(w.real, np.float32).reshape(m + 1, 1),
@@ -1110,7 +1206,7 @@ def _make_call_r2c(n: int, radices, tb: int, interpret: bool,
     if vpu is None:
         vpu = config.pallas_vpu_last   # build-time snapshot
     kernel = partial(_kernel_r2c, tuple(radices), n, tb, tw_lanes,
-                     _vpu_sign(-1, vpu), k2mode)
+                     _vpu_sign(-1, vpu), k2mode, presplit)
 
     in_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -1163,7 +1259,8 @@ def build_pallas_r2c(desc: Dict, rdtype):
         interpret = False
     call = _make_call_r2c(n, radices, tb, interpret,
                           vpu=desc.get("vpu"),
-                          k2mode=desc.get("k2", K2_DEFAULT))
+                          k2mode=desc.get("k2", K2_DEFAULT),
+                          gsplit=desc.get("gsplit"))
 
     def apply(x):
         shp = x.shape[:-1]
@@ -1188,7 +1285,8 @@ def build_pallas_r2c(desc: Dict, rdtype):
 # (imaginary parts of the DC/Nyquist bins drop out, matching pocketfft/FFTW)
 # ---------------------------------------------------------------------------
 
-def _kernel_c2r(radices, n, tb, tw_lanes, vsign, k2mode, *refs):
+def _kernel_c2r(radices, n, tb, tw_lanes, vsign, k2mode, presplit,
+                *refs):
     """Blocks: (tb, m+1) re/im in -> (tb, n) real out."""
     xr_ref, xi_ref = refs[0], refs[1]
     vr_ref, vi_ref = refs[2], refs[3]
@@ -1200,12 +1298,14 @@ def _kernel_c2r(radices, n, tb, tw_lanes, vsign, k2mode, *refs):
     xi = jnp.transpose(xi_ref[...])
     xpr, xpi = xr[:m], xi[:m]                  # X' rows 0..m-1
     pr, _pi = _stages(radices, m, tb, crefs, xpr, xpi,     # P = T_+(X')
-                      tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode)
+                      tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode,
+                      presplit=presplit)
     vr = vr_ref[...]                           # (m, 1)
     vi = vi_ref[...]
     hr, _hi = _stages(radices, m, tb, crefs,
                       xpr * vr - xpi * vi, xpr * vi + xpi * vr,
-                      tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode)
+                      tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode,
+                      presplit=presplit)
     dc = xr[0:1]                               # Re X[0] row
     ny = xr[m:m + 1]                           # Re X[m] row
     ye = 2.0 * pr + ny - dc                    # (m, tb)
@@ -1215,13 +1315,15 @@ def _kernel_c2r(radices, n, tb, tw_lanes, vsign, k2mode, *refs):
 
 
 def _make_call_c2r(n: int, radices, tb: int, interpret: bool,
-                   vpu=None, k2mode=K2_DEFAULT):
+                   vpu=None, k2mode=K2_DEFAULT, gsplit=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     m = n // 2
     tw_lanes = _flat_tw_lanes(m, radices, tb)
-    consts = _stage_consts(m, radices, +1, tw_lanes)     # T_+ stages
+    presplit = _use_presplit() if gsplit is None else bool(gsplit)
+    consts = _stage_consts(m, radices, +1, tw_lanes,     # T_+ stages
+                           presplit=presplit)
     k = np.arange(m, dtype=np.int64)
     v = np.exp(2j * np.pi * k / n)
     flat_consts = [np.ascontiguousarray(v.real, np.float32).reshape(m, 1),
@@ -1230,7 +1332,7 @@ def _make_call_c2r(n: int, radices, tb: int, interpret: bool,
     if vpu is None:
         vpu = config.pallas_vpu_last       # build-time snapshot
     kernel = partial(_kernel_c2r, tuple(radices), n, tb, tw_lanes,
-                     _vpu_sign(+1, vpu), k2mode)
+                     _vpu_sign(+1, vpu), k2mode, presplit)
 
     in_spec = pl.BlockSpec((tb, m + 1), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -1277,7 +1379,8 @@ def build_pallas_c2r(desc: Dict, rdtype):
         interpret = False
     call = _make_call_c2r(n, radices, tb, interpret,
                           vpu=desc.get("vpu"),
-                          k2mode=desc.get("k2", K2_DEFAULT))
+                          k2mode=desc.get("k2", K2_DEFAULT),
+                          gsplit=desc.get("gsplit"))
 
     def apply(X):
         xr = jnp.real(X)
@@ -1353,10 +1456,12 @@ def build_pallas_c2c_split_fourstep(desc: Dict, sign: int, rdtype):
     fstore = (p == tb)
     vpu = config.pallas_vpu_last           # pin for fwd AND lazy adjoint
     k2mode = desc.get("k2", K2_DEFAULT)
+    gsplit = desc.get("gsplit")
     inner = _make_call_inner(p, rad_p, sign, INNER_TILE_L, interpret,
-                             vpu=vpu, k2mode=k2mode)
+                             vpu=vpu, k2mode=k2mode, gsplit=gsplit)
     outer = _make_call(q, rad_q, sign, tb, interpret, pretwiddle_p=p,
-                       store_transposed=fstore, vpu=vpu, k2mode=k2mode)
+                       store_transposed=fstore, vpu=vpu, k2mode=k2mode,
+                       gsplit=gsplit)
     adj = [None]
 
     def _run(xr, xi, calls):
@@ -1399,10 +1504,11 @@ def build_pallas_c2c_split_fourstep(desc: Dict, sign: int, rdtype):
     def bwd(_, g):
         if adj[0] is None:
             adj[0] = (_make_call_inner(p, rad_p, -sign, INNER_TILE_L,
-                                       interpret, vpu=vpu, k2mode=k2mode),
+                                       interpret, vpu=vpu, k2mode=k2mode,
+                                       gsplit=gsplit),
                       _make_call(q, rad_q, -sign, tb, interpret,
                                  pretwiddle_p=p, store_transposed=fstore,
-                                 vpu=vpu, k2mode=k2mode))
+                                 vpu=vpu, k2mode=k2mode, gsplit=gsplit))
         return _run(g[0], g[1], adj[0])
 
     apply.defvjp(fwd, bwd)
