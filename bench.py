@@ -461,7 +461,12 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
         s = (ts[2 * i + 1] - ts[2 * i]) / ((b_hi - b_lo) * n)
         slopes[tag] = s
         print(f"# autotune {tag}: {s*1e12:.1f} ps/pt", file=sys.stderr)
-    best_tag, _ = min(slopes.items(), key=lambda kv: kv[1])
+    best_tag, best_slope = min(slopes.items(), key=lambda kv: kv[1])
+    # drift-resistant secondary metric (round-3 verdict): the winner's
+    # interleaved marginal slope, named so the BENCH tail carries a
+    # number the session-to-session chained drift cannot pollute
+    print(f"# headline_marginal_slope_ps_pt n={n}: {best_slope*1e12:.1f} "
+          f"({best_tag})", file=sys.stderr)
     if best_tag == "prod":
         print("# autotune: keeping prod defaults", file=sys.stderr)
         return
@@ -505,14 +510,18 @@ def _autotune_4096(batch: int = 4096) -> None:
     fns = {"pallas4": jax.jit(ps.build_pallas_c2c_split_fourstep(
         {"alg": "pallas4", "n": n, "p": p4, "q": q4}, -1, np.float32))}
     rads = {}
-    for rad, vpu in (([128, 32], True), ([64, 64], True),
-                     ([64, 64], "all")):
-        tag = f"single{rad}{'all' if vpu == 'all' else ''}"
+    # tb=64 arms (round 4): the tb=128 single kernels crash the compiler
+    # (likely scoped-VMEM: (2, 4096, 128) f32 planes alone are 4 MB);
+    # halving the lane tile halves the whole working set
+    for rad, vpu, tb in (([128, 32], True, 128), ([64, 64], True, 128),
+                         ([64, 64], "all", 128), ([128, 32], False, 64),
+                         ([64, 64], False, 64)):
+        tag = f"single{rad}{'all' if vpu == 'all' else ''}tb{tb}"
         try:
             fns[tag] = jax.jit(ps.build_pallas_c2c_split(
-                {"alg": "pallas", "n": n, "radices": rad, "tile_b": 128,
+                {"alg": "pallas", "n": n, "radices": rad, "tile_b": tb,
                  "vpu": vpu}, -1, np.float32))
-            rads[tag] = (rad, vpu)
+            rads[tag] = (rad, vpu, tb)
         except Exception as exc:                       # noqa: BLE001
             print(f"# autotune4096 {tag}: build FAIL {str(exc)[:100]}",
                   file=sys.stderr)
@@ -554,11 +563,11 @@ def _autotune_4096(batch: int = 4096) -> None:
         print("# autotune4096: keeping pallas4", file=sys.stderr)
         return
     from fftw3_tpu.planner import the_planner
-    rad, vpu = rads[best_tag]
+    rad, vpu, tb = rads[best_tag]
     key = the_planner._key("c2c", n, np.float32, batch)
     the_planner.wisdom[key] = {
         "desc": {"alg": "pallas", "n": n, "radices": rad,
-                 "tile_b": 128, "vpu": vpu},
+                 "tile_b": tb, "vpu": vpu},
         "patience": 99, "cost": 0.0}
     print(f"# autotune4096: selected {best_tag}", file=sys.stderr)
 
