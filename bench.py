@@ -121,25 +121,38 @@ def bench_c2c_3d(n: int):
     ref = np.fft.fftn((np.asarray(xr) + 1j * np.asarray(xi))
                       .astype(np.complex128))
 
-    def inject_vpuall():
-        from fftw3_tpu.planner import the_planner
+    def _sqrt_split():
         if n & (n - 1) or not (64 <= n <= 4096):
-            raise ValueError("no all-eligible split")
+            raise ValueError("no two-stage split")
         h = 1 << ((n.bit_length() - 1) // 2)     # ~sqrt split, both pow2
         rad = [n // h, h]
         if any(r > 64 for r in rad):
             rad = [64, n // 64] if n // 64 <= 64 else None
         if rad is None:
-            raise ValueError("no all-eligible split")
-        desc = {"alg": "pallas", "n": n, "radices": rad, "tile_b": 128,
-                "vpu": "all"}
+            raise ValueError("no two-stage split")
+        return rad
+
+    def _inject(desc):
+        from fftw3_tpu.planner import the_planner
         for b in (n * n, n):                     # per-axis vector sizes
             the_planner.wisdom[the_planner._key(
                 "c2c", n, np.float32, b)] = {
                 "desc": dict(desc), "patience": 99, "cost": 0.0}
 
+    def inject_vpuall():
+        _inject({"alg": "pallas", "n": n, "radices": _sqrt_split(),
+                 "tile_b": 128, "vpu": "all"})
+
+    def inject_mxu2():
+        # plain presplit two-stage split (the [16,16]-class arm): under
+        # presplit the k2 cross pass refills the MXU at small radices,
+        # which moved the n=1024 optimum to [32,32] — race the analog
+        _inject({"alg": "pallas", "n": n, "radices": _sqrt_split(),
+                 "tile_b": 128})
+
     arms = [("prod", None)]
     if jax.default_backend() == "tpu":
+        arms.append(("mxu2st", inject_mxu2))
         arms.append(("vpuall", inject_vpuall))
     cand = []
     for tag, setup in arms:
@@ -216,20 +229,33 @@ def bench_r2c_2d(n: int, batch: int = 8):
     # the round-4 on-chip miscompute finding (config.r2c_dc_nyquist_pack
     # doc); racing it verify-gated means the ~11% lane win returns by
     # itself the day the toolchain fixes the fusion bug.
-    arms = [("prod", flag0, np_max0, pack0)]
+    def inject_child_radices(rad):
+        # pin the fused-r2c kernel's half-size schedule (the planner's
+        # static choice is [64,16]; under presplit [32,32] won the
+        # n=1024 c2c sweep twice — the same stages run inside pallas_r2c)
+        from fftw3_tpu.planner import the_planner
+        the_planner.wisdom[the_planner._key(
+            "r2c", n, np.float32, batch * n)] = {
+            "desc": {"alg": "pallas_r2c", "n": n, "radices": rad},
+            "patience": 99, "cost": 0.0}
+
+    arms = [("prod", flag0, np_max0, pack0, None)]
     if jax.default_backend() == "tpu":
-        arms.append(("pack", flag0, np_max0, True))
+        arms.append(("r3232", flag0, np_max0, pack0, [32, 32]))
+        arms.append(("pack", flag0, np_max0, True, None))
         for tag, f in (("vpu", True), ("vpuall", "all")):
             if f != flag0:
-                arms.append((tag, f, np_max0, pack0))
-        arms.append(("vpu_wide", True, max(np_max0, n * 128), pack0))
+                arms.append((tag, f, np_max0, pack0, None))
+        arms.append(("vpu_wide", True, max(np_max0, n * 128), pack0, None))
     cand = []
-    for tag, flag, np_max, pack in arms:
+    for tag, flag, np_max, pack, child_rad in arms:
         config.pallas_vpu_last = flag
         ps.INNER_NP_MAX = np_max
         config.r2c_dc_nyquist_pack = pack
         try:
             ftpu.forget_wisdom()
+            if child_rad is not None:
+                inject_child_radices(child_rad)
             plan = ftpu.plan_dft_r2c((batch, n, n), axes=(1, 2),
                                      dtype="float32")
         except Exception as exc:                       # noqa: BLE001
@@ -406,17 +432,19 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
     # compile cache — kept as the A/B record + insurance); vpu arms as
     # before.  Tuples: (tag, vpu, radices, k2, gsplit).
     arms = [("prod", False, rad0, "first", True),
-            ("nosplit", False, rad0, "all", False),
-            ("vpu", True, rad0, "first", True)]
-    if _all_ok(rad0):
-        arms.append(("vpuall", "all", rad0, "first", True))
+            ("nosplit", False, rad0, "all", False)]
+    # plain presplit-MXU alt-radix arms FIRST: under presplit the radix
+    # optimum moved (measured: [32,32] 49.3 vs [64,16] 63.5 ps/pt in the
+    # same block — the k2 cross pass K=4p exactly fills the MXU at p=32);
+    # the earlier logic raced eligible alts only as vpuall, which loses.
     for alt in ps.alternative_radices(n, k=6):
-        if alt == rad0 or len(alt) != 2 or len(arms) >= 7:
+        if alt == rad0 or len(alt) != 2 or len(arms) >= 5:
             continue
-        if _all_ok(alt):
-            arms.append((f"vpuall{alt}", "all", alt, "first", True))
-        else:
-            arms.append((f"ps{alt}", False, alt, "first", True))
+        arms.append((f"ps{alt}", False, alt, "first", True))
+    if _all_ok(rad0) and len(arms) < 7:
+        arms.append(("vpuall", "all", rad0, "first", True))
+    if len(arms) < 7:
+        arms.append(("vpu", True, rad0, "first", True))
     fns = {}
     for tag, flag, rad, k2, gs in arms:
         try:
