@@ -229,33 +229,57 @@ def bench_r2c_2d(n: int, batch: int = 8):
     # the round-4 on-chip miscompute finding (config.r2c_dc_nyquist_pack
     # doc); racing it verify-gated means the ~11% lane win returns by
     # itself the day the toolchain fixes the fusion bug.
-    def inject_child_radices(rad):
-        # pin the fused-r2c kernel's half-size schedule (the planner's
-        # static choice is [64,16]; under presplit [32,32] won the
-        # n=1024 c2c sweep twice — the same stages run inside pallas_r2c)
+    def inject_child(extra, c2c_extra=None):
+        # pin the fused-r2c kernel's half-size schedule / variant fields
+        # (the planner's static choice is [64,16]; under presplit [32,32]
+        # won the n=1024 c2c sweep twice — the same stages run inside
+        # pallas_r2c; "merge" runs the A/B two-real pipelines as one
+        # double-lane-width _stages call).  ``c2c_extra`` additionally
+        # pins the axis-1 c2c sub-plan (injected at every plausible batch
+        # bucket — the sub-plan's vector size isn't knowable here).
         from fftw3_tpu.planner import the_planner
+        desc = {"alg": "pallas_r2c", "n": n,
+                "radices": ps.choose_radices(n // 2)}
+        desc.update(extra)
         the_planner.wisdom[the_planner._key(
             "r2c", n, np.float32, batch * n)] = {
-            "desc": {"alg": "pallas_r2c", "n": n, "radices": rad},
-            "patience": 99, "cost": 0.0}
+            "desc": desc, "patience": 99, "cost": 0.0}
+        if c2c_extra:
+            cdesc = {"alg": "pallas", "n": n,
+                     "radices": ps.choose_radices(n)}
+            cdesc.update(c2c_extra)
+            for b in (batch * n, batch * (n // 2 + 1), batch * (n // 2)):
+                the_planner.wisdom[the_planner._key(
+                    "c2c", n, np.float32, b)] = {
+                    "desc": cdesc, "patience": 99, "cost": 0.0}
 
-    arms = [("prod", flag0, np_max0, pack0, None)]
+    arms = [("prod", flag0, np_max0, pack0, None, None)]
     if jax.default_backend() == "tpu":
-        arms.append(("r3232", flag0, np_max0, pack0, [32, 32]))
-        arms.append(("pack", flag0, np_max0, True, None))
-        for tag, f in (("vpu", True), ("vpuall", "all")):
-            if f != flag0:
-                arms.append((tag, f, np_max0, pack0, None))
-        arms.append(("vpu_wide", True, max(np_max0, n * 128), pack0, None))
+        arms.append(("r3232", flag0, np_max0, pack0,
+                     {"radices": [32, 32]}, None))
+        # k2force: presplit shrank the cross-pass VMEM; race the fused
+        # K=4p pass on BOTH passes' stages past the static byte budget
+        # (measured round 4: won one of two interleaved blocks, 56.0 vs
+        # 61.6 ps/pt — session-dependent, so race it every driver run).
+        # The desc["merge"] two-real-pipeline variant LOST both blocks
+        # (66.8/67.5 vs 61.6/55.0 — the 256-lane form drops the flat
+        # twiddle and raises VMEM pressure); capability kept, arm dropped.
+        arms.append(("k2force", flag0, np_max0, pack0,
+                     {"k2": "force"}, {"k2": "force"}))
+        arms.append(("pack", flag0, np_max0, True, None, None))
+        # dropped round 4: vpu (466) / vpuall (343) lost to prod (601) in
+        # two independent driver runs, and vpu_wide's [128,16] inner
+        # schedule crashes Mosaic even under presplit
+        # (experiments/round4_race2.py) — INNER_NP_MAX stands
     cand = []
-    for tag, flag, np_max, pack, child_rad in arms:
+    for tag, flag, np_max, pack, child_extra, c2c_extra in arms:
         config.pallas_vpu_last = flag
         ps.INNER_NP_MAX = np_max
         config.r2c_dc_nyquist_pack = pack
         try:
             ftpu.forget_wisdom()
-            if child_rad is not None:
-                inject_child_radices(child_rad)
+            if child_extra is not None:
+                inject_child(child_extra, c2c_extra)
             plan = ftpu.plan_dft_r2c((batch, n, n), axes=(1, 2),
                                      dtype="float32")
         except Exception as exc:                       # noqa: BLE001
@@ -431,26 +455,35 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
     # in-kernel-cast kernel (the round-2/3 headline, only runnable from
     # compile cache — kept as the A/B record + insurance); vpu arms as
     # before.  Tuples: (tag, vpu, radices, k2, gsplit).
-    arms = [("prod", False, rad0, "first", True),
-            ("nosplit", False, rad0, "all", False)]
+    tb0 = ps.tile_for(n)
+    arms = [("prod", False, rad0, "first", True, tb0),
+            ("nosplit", False, rad0, "all", False, tb0)]
     # plain presplit-MXU alt-radix arms FIRST: under presplit the radix
     # optimum moved (measured: [32,32] 49.3 vs [64,16] 63.5 ps/pt in the
     # same block — the k2 cross pass K=4p exactly fills the MXU at p=32);
     # the earlier logic raced eligible alts only as vpuall, which loses.
-    for alt in ps.alternative_radices(n, k=6):
+    alts = ps.alternative_radices(n, k=6)
+    for alt in alts:
         if alt == rad0 or len(alt) != 2 or len(arms) >= 5:
             continue
-        arms.append((f"ps{alt}", False, alt, "first", True))
+        arms.append((f"ps{alt}", False, alt, "first", True, tb0))
+    # wide-row-tile arm (round 4): pallas4's outer kernel won 15-19% from
+    # tile widening; re-try tb=256 here under presplit (the round-2
+    # tb=256 loss predates the hoisted G casts).  128-multiples keep the
+    # stage lane-merge reshape legal.
+    best_alt = alts[1] if len(alts) > 1 and len(alts[1]) == 2 else rad0
+    arms.append((f"ps{best_alt}tb256", False, best_alt, "first", True,
+                 256))
     if _all_ok(rad0) and len(arms) < 7:
-        arms.append(("vpuall", "all", rad0, "first", True))
+        arms.append(("vpuall", "all", rad0, "first", True, tb0))
     if len(arms) < 7:
-        arms.append(("vpu", True, rad0, "first", True))
+        arms.append(("vpu", True, rad0, "first", True, tb0))
     fns = {}
-    for tag, flag, rad, k2, gs in arms:
+    for tag, flag, rad, k2, gs, tb in arms:
         try:
             fns[tag] = jax.jit(ps.build_pallas_c2c_split(
                 {"alg": "pallas", "n": n, "radices": list(rad),
-                 "tile_b": ps.tile_for(n), "vpu": flag, "k2": k2,
+                 "tile_b": tb, "vpu": flag, "k2": k2,
                  "gsplit": gs}, -1, np.float32))
         except Exception as exc:                       # noqa: BLE001
             print(f"# autotune {tag}: build FAIL {str(exc)[:100]}",
@@ -461,7 +494,7 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
     vi = rng.standard_normal((256, n)).astype(np.float32)
     ref = np.fft.fft((vr + 1j * vi).astype(np.complex128), axis=1)
     good = []
-    for tag, flag, rad, k2, gs in arms:
+    for tag, flag, rad, k2, gs, tb in arms:
         if tag not in fns:
             continue
         try:
@@ -469,7 +502,7 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
             err = _relerr(np.asarray(yr) + 1j * np.asarray(yi), ref)
             print(f"# autotune {tag}: relerr={err:.1e}", file=sys.stderr)
             if err < VERIFY_TOL:
-                good.append((tag, flag, rad, k2, gs))
+                good.append((tag, flag, rad, k2, gs, tb))
         except Exception as exc:                       # noqa: BLE001
             print(f"# autotune {tag}: verify FAIL {str(exc)[:100]}",
                   file=sys.stderr)
@@ -478,14 +511,14 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
 
     b_lo, b_hi = 8192, 24576
     configs = []
-    for tag, _, _, _, _ in good:
+    for tag, *_ in good:
         for b in (b_lo, b_hi):
             xr = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
             xi = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
             configs.append((fns[tag], (xr, xi)))
     ts = timing.time_chained_multi(configs, k1=4, k2=16, reps=7)
     slopes = {}
-    for i, (tag, _, _, _, _) in enumerate(good):
+    for i, (tag, *_) in enumerate(good):
         s = (ts[2 * i + 1] - ts[2 * i]) / ((b_hi - b_lo) * n)
         slopes[tag] = s
         print(f"# autotune {tag}: {s*1e12:.1f} ps/pt", file=sys.stderr)
@@ -498,7 +531,7 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
     if best_tag == "prod":
         print("# autotune: keeping prod defaults", file=sys.stderr)
         return
-    _, flag, rad, k2, gs = next(a for a in good if a[0] == best_tag)
+    _, flag, rad, k2, gs, tb = next(a for a in good if a[0] == best_tag)
     config.pallas_vpu_last = flag
     from fftw3_tpu.planner import the_planner
     key = the_planner._key("c2c", n, np.float32, batch)
@@ -507,7 +540,7 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
     # choice)
     the_planner.wisdom[key] = {
         "desc": {"alg": "pallas", "n": n, "radices": list(rad),
-                 "tile_b": ps.tile_for(n), "vpu": flag, "k2": k2,
+                 "tile_b": tb, "vpu": flag, "k2": k2,
                  "gsplit": gs},
         "patience": 99, "cost": 0.0}
     print(f"# autotune: selected {best_tag} "
@@ -516,18 +549,21 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
 
 
 def _autotune_4096(batch: int = 4096) -> None:
-    """Race the n=4096 SINGLE fused kernel (VPU final stage) against the
-    pallas4 four-step before the suite's 4096 config runs.  With an MXU
-    final stage the two-stage n=4096 schedule blew scoped VMEM (MAX_N
-    2048); the VPU stage drops the final G/cross operands, and if a
-    single-kernel schedule compiles it saves the four-step's third HBM
-    pass (~750 GFLOPS marginal slope measured for pallas4's own kernels —
-    BASELINE.md).  Compile failures just drop the arm; a win injects a
-    desc-pinned wisdom entry at the suite's batch bucket."""
+    """Race pallas4 four-step VARIANTS for the n=4096 config.
+
+    The single-kernel n=4096 route is DEAD on this toolchain — measured
+    round 4 (experiments/bisect4096*.py): tb=128 blows scoped VMEM (the
+    (tb, 4096) f32 I/O blocks alone are 4x2 MB double-buffered), and any
+    tb < 128 crashes Mosaic because the stage reshape (2, n, TB) ->
+    (2p, q*TB) lane-merges with inner block TB (legal only at
+    128-multiples).  So the race is over pallas4's own knobs instead:
+    the OUTER kernel's row tile (at q=128 the default 128-row blocks are
+    64 KB — per-grid-step overhead dominates; 512/1024-row tiles amortize
+    it) and the outer q-schedule.  A win injects a desc-pinned wisdom
+    entry at the suite's batch bucket."""
     import jax
     import jax.numpy as jnp
 
-    from fftw3_tpu import config
     from fftw3_tpu.ops import pallas_stockham as ps
     from fftw3_tpu.utils import timing
 
@@ -535,21 +571,18 @@ def _autotune_4096(batch: int = 4096) -> None:
         return
     n = 4096
     p4, q4 = ps.choose_fourstep(n)
-    fns = {"pallas4": jax.jit(ps.build_pallas_c2c_split_fourstep(
-        {"alg": "pallas4", "n": n, "p": p4, "q": q4}, -1, np.float32))}
-    rads = {}
-    # tb=64 arms (round 4): the tb=128 single kernels crash the compiler
-    # (likely scoped-VMEM: (2, 4096, 128) f32 planes alone are 4 MB);
-    # halving the lane tile halves the whole working set
-    for rad, vpu, tb in (([128, 32], True, 128), ([64, 64], True, 128),
-                         ([64, 64], "all", 128), ([128, 32], False, 64),
-                         ([64, 64], False, 64)):
-        tag = f"single{rad}{'all' if vpu == 'all' else ''}tb{tb}"
+    descs = {"pallas4": {"alg": "pallas4", "n": n, "p": p4, "q": q4}}
+    for tb in (512, 1024):
+        descs[f"pallas4tb{tb}"] = {"alg": "pallas4", "n": n, "p": p4,
+                                   "q": q4, "tile_b": tb}
+    descs["pallas4tb512r168"] = {"alg": "pallas4", "n": n, "p": p4,
+                                 "q": q4, "tile_b": 512,
+                                 "radices": [16, 8]}
+    fns = {}
+    for tag, d in descs.items():
         try:
-            fns[tag] = jax.jit(ps.build_pallas_c2c_split(
-                {"alg": "pallas", "n": n, "radices": rad, "tile_b": tb,
-                 "vpu": vpu}, -1, np.float32))
-            rads[tag] = (rad, vpu, tb)
+            fns[tag] = jax.jit(ps.build_pallas_c2c_split_fourstep(
+                d, -1, np.float32))
         except Exception as exc:                       # noqa: BLE001
             print(f"# autotune4096 {tag}: build FAIL {str(exc)[:100]}",
                   file=sys.stderr)
@@ -591,12 +624,9 @@ def _autotune_4096(batch: int = 4096) -> None:
         print("# autotune4096: keeping pallas4", file=sys.stderr)
         return
     from fftw3_tpu.planner import the_planner
-    rad, vpu, tb = rads[best_tag]
     key = the_planner._key("c2c", n, np.float32, batch)
     the_planner.wisdom[key] = {
-        "desc": {"alg": "pallas", "n": n, "radices": rad,
-                 "tile_b": tb, "vpu": vpu},
-        "patience": 99, "cost": 0.0}
+        "desc": descs[best_tag], "patience": 99, "cost": 0.0}
     print(f"# autotune4096: selected {best_tag}", file=sys.stderr)
 
 

@@ -294,7 +294,16 @@ K2_DEFAULT = "first"
 
 
 def _k2_stage_ok(k2mode: str, done: int) -> bool:
-    return k2mode == "all" or (k2mode == "first" and done == 1)
+    return k2mode in ("all", "force") or (k2mode == "first" and done == 1)
+
+
+def _k2_bytes_ok(k2mode: str, nbytes: int) -> bool:
+    """``force`` (desc-carried, autotune-injected) overrides the
+    K2_MAX_BYTES budget: presplit shrank the cross-pass VMEM (the GG
+    operand ships pre-concatenated), so shapes the static budget excludes
+    (n=2048's 1 MB first stage) can be raced per-plan without moving the
+    global cap."""
+    return k2mode == "force" or nbytes <= K2_MAX_BYTES
 
 
 def _gmm(G, X, k2=True):
@@ -578,7 +587,7 @@ def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0, sign=0,
                 y = _gmm_ps_real(Gh, GG, st.reshape(p, M), p)
             else:
                 y = _gmm_ps(Gh, GG, st.reshape(2 * p, M),
-                            k2=(k2ok and 4 * p * M <= K2_MAX_BYTES))
+                            k2=(k2ok and _k2_bytes_ok(k2mode, 4 * p * M)))
         else:
             G = crefs[ci][...]
             ci += 1
@@ -587,10 +596,10 @@ def _stages(radices, n, tb, crefs, ar, ai, tw_lanes=0, sign=0,
             k2ok = _k2_stage_ok(k2mode, done)
             if st.shape[0] == 1:
                 y = _gmm(G[:, :p], st.reshape(p, M),
-                         k2=(k2ok and 2 * p * M <= K2_MAX_BYTES))
+                         k2=(k2ok and _k2_bytes_ok(k2mode, 2 * p * M)))
             else:
                 y = _gmm(G, st.reshape(2 * p, M),
-                         k2=(k2ok and 4 * p * M <= K2_MAX_BYTES))
+                         k2=(k2ok and _k2_bytes_ok(k2mode, 4 * p * M)))
         if q > 1:
             if done == 1 and tw_lanes == tb:
                 # flat twiddle on the 2-D matmul-output view (no
@@ -1152,7 +1161,7 @@ def build_pallas_c2c_split(desc: Dict, sign: int, rdtype):
 # ---------------------------------------------------------------------------
 
 def _kernel_r2c(radices, n, tb, tw_lanes, vsign, k2mode, presplit,
-                *refs):
+                merge, *refs):
     """Block (tb, n) real in -> (tb, n//2+1) re/im out.
 
     The radix-2 DIT identity with real half-signals: A = DFT_m(even
@@ -1161,6 +1170,11 @@ def _kernel_r2c(radices, n, tb, tw_lanes, vsign, k2mode, presplit,
     (Mosaic has no `rev` primitive).  Two half-size real-input transforms
     cost ~4/3 of one complex one and the whole thing stays a single HBM
     pass.
+
+    ``merge``: run the A and B pipelines as ONE double-lane-width
+    _stages call (every stage op is lane-independent) — half the matmul
+    invocations and per-stage fixed costs; the recombine slices the lane
+    halves back apart (tb-aligned).
     """
     # refs = (x, w_re, w_im, *stage_consts, y_re, y_im)
     x_ref = refs[0]
@@ -1171,12 +1185,19 @@ def _kernel_r2c(radices, n, tb, tw_lanes, vsign, k2mode, presplit,
 
     v = jnp.transpose(x_ref[...])              # (n, tb)
     v = v.reshape(m, 2 * tb)                   # row j: [x[2j,:], x[2j+1,:]]
-    ar, ai = _stages(radices, m, tb, crefs, v[:, :tb], None,   # A (real)
-                     tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode,
-                     presplit=presplit)
-    br, bi = _stages(radices, m, tb, crefs, v[:, tb:], None,   # B (real)
-                     tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode,
-                     presplit=presplit)
+    if merge:
+        cr, ci = _stages(radices, m, 2 * tb, crefs, v, None,
+                         tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode,
+                         presplit=presplit)
+        ar, br = cr[:, :tb], cr[:, tb:]
+        ai, bi = ci[:, :tb], ci[:, tb:]
+    else:
+        ar, ai = _stages(radices, m, tb, crefs, v[:, :tb], None,  # A (real)
+                         tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode,
+                         presplit=presplit)
+        br, bi = _stages(radices, m, tb, crefs, v[:, tb:], None,  # B (real)
+                         tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode,
+                         presplit=presplit)
     afr = jnp.concatenate([ar, ar[0:1]], axis=0)          # (m+1, tb)
     afi = jnp.concatenate([ai, ai[0:1]], axis=0)
     bfr = jnp.concatenate([br, br[0:1]], axis=0)
@@ -1190,12 +1211,12 @@ def _kernel_r2c(radices, n, tb, tw_lanes, vsign, k2mode, presplit,
 
 
 def _make_call_r2c(n: int, radices, tb: int, interpret: bool,
-                   vpu=None, k2mode=K2_DEFAULT, gsplit=None):
+                   vpu=None, k2mode=K2_DEFAULT, gsplit=None, merge=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     m = n // 2
-    tw_lanes = _flat_tw_lanes(m, radices, tb)
+    tw_lanes = _flat_tw_lanes(m, radices, 2 * tb if merge else tb)
     presplit = _use_presplit() if gsplit is None else bool(gsplit)
     consts = _stage_consts(m, radices, -1, tw_lanes, presplit=presplit)
     k = np.arange(m + 1, dtype=np.int64)
@@ -1206,7 +1227,7 @@ def _make_call_r2c(n: int, radices, tb: int, interpret: bool,
     if vpu is None:
         vpu = config.pallas_vpu_last   # build-time snapshot
     kernel = partial(_kernel_r2c, tuple(radices), n, tb, tw_lanes,
-                     _vpu_sign(-1, vpu), k2mode, presplit)
+                     _vpu_sign(-1, vpu), k2mode, presplit, bool(merge))
 
     in_spec = pl.BlockSpec((tb, n), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -1249,7 +1270,7 @@ def build_pallas_r2c(desc: Dict, rdtype):
     m = n // 2
     radices = desc.get("radices") or choose_radices(m)
     assert math.prod(radices) == m
-    tb = 128
+    tb = desc.get("tile_b") or 128
     mode = config.pallas_mode
     if mode == "auto":
         interpret = jax.default_backend() != "tpu"
@@ -1260,7 +1281,8 @@ def build_pallas_r2c(desc: Dict, rdtype):
     call = _make_call_r2c(n, radices, tb, interpret,
                           vpu=desc.get("vpu"),
                           k2mode=desc.get("k2", K2_DEFAULT),
-                          gsplit=desc.get("gsplit"))
+                          gsplit=desc.get("gsplit"),
+                          merge=desc.get("merge", False))
 
     def apply(x):
         shp = x.shape[:-1]
@@ -1286,8 +1308,11 @@ def build_pallas_r2c(desc: Dict, rdtype):
 # ---------------------------------------------------------------------------
 
 def _kernel_c2r(radices, n, tb, tw_lanes, vsign, k2mode, presplit,
-                *refs):
-    """Blocks: (tb, m+1) re/im in -> (tb, n) real out."""
+                merge, *refs):
+    """Blocks: (tb, m+1) re/im in -> (tb, n) real out.
+
+    ``merge``: the P and H pipelines share one double-lane-width _stages
+    call (lane-independent stage ops), mirroring _kernel_r2c."""
     xr_ref, xi_ref = refs[0], refs[1]
     vr_ref, vi_ref = refs[2], refs[3]
     crefs = refs[4:-1]
@@ -1297,15 +1322,24 @@ def _kernel_c2r(radices, n, tb, tw_lanes, vsign, k2mode, presplit,
     xr = jnp.transpose(xr_ref[...])            # (m+1, tb)
     xi = jnp.transpose(xi_ref[...])
     xpr, xpi = xr[:m], xi[:m]                  # X' rows 0..m-1
-    pr, _pi = _stages(radices, m, tb, crefs, xpr, xpi,     # P = T_+(X')
-                      tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode,
-                      presplit=presplit)
     vr = vr_ref[...]                           # (m, 1)
     vi = vi_ref[...]
-    hr, _hi = _stages(radices, m, tb, crefs,
-                      xpr * vr - xpi * vi, xpr * vi + xpi * vr,
-                      tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode,
-                      presplit=presplit)
+    if merge:
+        cr, _ci = _stages(
+            radices, m, 2 * tb, crefs,
+            jnp.concatenate([xpr, xpr * vr - xpi * vi], axis=1),
+            jnp.concatenate([xpi, xpr * vi + xpi * vr], axis=1),
+            tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode,
+            presplit=presplit)
+        pr, hr = cr[:, :tb], cr[:, tb:]
+    else:
+        pr, _pi = _stages(radices, m, tb, crefs, xpr, xpi,   # P = T_+(X')
+                          tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode,
+                          presplit=presplit)
+        hr, _hi = _stages(radices, m, tb, crefs,
+                          xpr * vr - xpi * vi, xpr * vi + xpi * vr,
+                          tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode,
+                          presplit=presplit)
     dc = xr[0:1]                               # Re X[0] row
     ny = xr[m:m + 1]                           # Re X[m] row
     ye = 2.0 * pr + ny - dc                    # (m, tb)
@@ -1315,12 +1349,12 @@ def _kernel_c2r(radices, n, tb, tw_lanes, vsign, k2mode, presplit,
 
 
 def _make_call_c2r(n: int, radices, tb: int, interpret: bool,
-                   vpu=None, k2mode=K2_DEFAULT, gsplit=None):
+                   vpu=None, k2mode=K2_DEFAULT, gsplit=None, merge=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     m = n // 2
-    tw_lanes = _flat_tw_lanes(m, radices, tb)
+    tw_lanes = _flat_tw_lanes(m, radices, 2 * tb if merge else tb)
     presplit = _use_presplit() if gsplit is None else bool(gsplit)
     consts = _stage_consts(m, radices, +1, tw_lanes,     # T_+ stages
                            presplit=presplit)
@@ -1332,7 +1366,7 @@ def _make_call_c2r(n: int, radices, tb: int, interpret: bool,
     if vpu is None:
         vpu = config.pallas_vpu_last       # build-time snapshot
     kernel = partial(_kernel_c2r, tuple(radices), n, tb, tw_lanes,
-                     _vpu_sign(+1, vpu), k2mode, presplit)
+                     _vpu_sign(+1, vpu), k2mode, presplit, bool(merge))
 
     in_spec = pl.BlockSpec((tb, m + 1), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -1369,7 +1403,7 @@ def build_pallas_c2r(desc: Dict, rdtype):
     m = n // 2
     radices = desc.get("radices") or choose_radices(m)
     assert math.prod(radices) == m
-    tb = 128
+    tb = desc.get("tile_b") or 128
     mode = config.pallas_mode
     if mode == "auto":
         interpret = jax.default_backend() != "tpu"
@@ -1380,7 +1414,8 @@ def build_pallas_c2r(desc: Dict, rdtype):
     call = _make_call_c2r(n, radices, tb, interpret,
                           vpu=desc.get("vpu"),
                           k2mode=desc.get("k2", K2_DEFAULT),
-                          gsplit=desc.get("gsplit"))
+                          gsplit=desc.get("gsplit"),
+                          merge=desc.get("merge", False))
 
     def apply(X):
         xr = jnp.real(X)
@@ -1449,7 +1484,11 @@ def build_pallas_c2c_split_fourstep(desc: Dict, sign: int, rdtype):
         interpret = True
     else:
         interpret = False
-    tb = 128
+    # outer-pass row tile: at q <= 256 the default 128-row blocks are tiny
+    # (a (128, q) block is 64 KB at q=128) and the grid drowns in per-step
+    # overhead; desc["tile_b"] lets the autotune widen it (any 128-multiple
+    # with p | tb keeps every lane-merge reshape legal)
+    tb = desc.get("tile_b") or 128
     # fused transposed store only at p == 128: the (g, q, p) out block's
     # lane dim is p, and narrow lanes make the store a net loss (measured
     # same-session: p=32 fused 187 vs 133 ps/pt; p=128 fused 143 vs 165)

@@ -1,0 +1,96 @@
+"""Round-4 additions: desc-carried kernel variants.
+
+- ``merge``  (pallas_r2c / pallas_c2r): the A/B two-real pipelines run as
+  ONE double-lane-width _stages call.  On-chip it verified but LOST the
+  r2c race (BASELINE.md round 4); the capability stays desc-carried.
+- ``tile_b`` (pallas, pallas4): row-tile override — pallas4's outer
+  kernel at q=128 measured 15-19% faster at tb=512 (the 128-row blocks
+  are 64 KB and per-grid-step overhead dominates).
+- ``k2: "force"``: per-plan override of the K2_MAX_BYTES cross-pass
+  budget (presplit shrank the cross operand; n=2048's 1 MB first stage
+  becomes raceable).
+
+All exercised in interpret mode against float64 oracles.
+"""
+import jax
+import numpy as np
+import pytest
+
+import fftw3_tpu  # noqa: F401  (conftest forces cpu + interpret)
+from fftw3_tpu.ops import pallas_stockham as ps
+
+RNG = np.random.default_rng(42)
+
+
+def _relerr(a, b):
+    return np.max(np.abs(a - b)) / np.max(np.abs(b))
+
+
+@pytest.mark.parametrize("extra", [{"merge": True},
+                                   {"merge": True, "radices": [16, 16]},
+                                   {"k2": "force"},
+                                   {"merge": True, "k2": "force"}])
+def test_r2c_desc_variants(extra):
+    n = 512
+    x = RNG.standard_normal((256, n)).astype(np.float32)
+    ref = np.fft.rfft(x.astype(np.float64), axis=1)
+    desc = {"alg": "pallas_r2c", "n": n}
+    desc.update(extra)
+    f = ps.build_pallas_r2c(desc, np.float32)
+    y = np.asarray(jax.jit(f)(x))
+    assert _relerr(y, ref) < 2e-5
+
+
+@pytest.mark.parametrize("extra", [{"merge": True}, {"k2": "force"}])
+def test_c2r_desc_variants(extra):
+    n = 512
+    x = RNG.standard_normal((256, n)).astype(np.float32)
+    X = np.fft.rfft(x.astype(np.float64), axis=1).astype(np.complex64)
+    desc = {"alg": "pallas_c2r", "n": n}
+    desc.update(extra)
+    f = ps.build_pallas_c2r(desc, np.float32)
+    y = np.asarray(jax.jit(f)(X))
+    assert _relerr(y, n * x) < 2e-5
+
+
+@pytest.mark.parametrize("tb", [512, 1024])
+def test_pallas4_tile_b(tb):
+    n = 4096
+    p4, q4 = ps.choose_fourstep(n)
+    xr = RNG.standard_normal((40, n)).astype(np.float32)
+    xi = RNG.standard_normal((40, n)).astype(np.float32)
+    ref = np.fft.fft((xr + 1j * xi).astype(np.complex128), axis=1)
+    f = jax.jit(ps.build_pallas_c2c_split_fourstep(
+        {"alg": "pallas4", "n": n, "p": p4, "q": q4, "tile_b": tb},
+        -1, np.float32))
+    yr, yi = f(xr, xi)
+    assert _relerr(np.asarray(yr) + 1j * np.asarray(yi), ref) < 2e-5
+
+
+def test_c2c_k2_force_matches_budgeted():
+    """k2="force" changes scheduling, not semantics: same transform, and
+    at n=2048 [128,16] the forced cross pass must still verify (the
+    static budget excludes this shape)."""
+    n = 2048
+    xr = RNG.standard_normal((128, n)).astype(np.float32)
+    xi = RNG.standard_normal((128, n)).astype(np.float32)
+    ref = np.fft.fft((xr + 1j * xi).astype(np.complex128), axis=1)
+    for k2 in ("first", "force"):
+        f = jax.jit(ps.build_pallas_c2c_split(
+            {"alg": "pallas", "n": n, "radices": [128, 16], "k2": k2},
+            -1, np.float32))
+        yr, yi = f(xr, xi)
+        assert _relerr(np.asarray(yr) + 1j * np.asarray(yi), ref) < 2e-5
+
+
+def test_merge_tb64_is_buildable_but_gated():
+    """tb=64 + merge builds (the 64-lane recombine slices only crash the
+    REAL Mosaic compiler, not interpret mode) — documents why the bench
+    never races it on chip."""
+    n = 512
+    x = RNG.standard_normal((64, n)).astype(np.float32)
+    ref = np.fft.rfft(x.astype(np.float64), axis=1)
+    f = ps.build_pallas_r2c({"alg": "pallas_r2c", "n": n, "merge": True,
+                             "tile_b": 64}, np.float32)
+    y = np.asarray(jax.jit(f)(x))
+    assert _relerr(y, ref) < 2e-5
