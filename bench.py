@@ -253,10 +253,10 @@ def bench_r2c_2d(n: int, batch: int = 8):
                     "c2c", n, np.float32, b)] = {
                     "desc": cdesc, "patience": 99, "cost": 0.0}
 
-    arms = [("prod", flag0, np_max0, pack0, None, None)]
+    arms = [("prod", flag0, np_max0, pack0, None, None, False)]
     if jax.default_backend() == "tpu":
         arms.append(("r3232", flag0, np_max0, pack0,
-                     {"radices": [32, 32]}, None))
+                     {"radices": [32, 32]}, None, False))
         # k2force: presplit shrank the cross-pass VMEM; race the fused
         # K=4p pass on BOTH passes' stages past the static byte budget
         # (measured round 4: won one of two interleaved blocks, 56.0 vs
@@ -265,21 +265,39 @@ def bench_r2c_2d(n: int, batch: int = 8):
         # (66.8/67.5 vs 61.6/55.0 — the 256-lane form drops the flat
         # twiddle and raises VMEM pressure); capability kept, arm dropped.
         arms.append(("k2force", flag0, np_max0, pack0,
-                     {"k2": "force"}, {"k2": "force"}))
-        arms.append(("pack", flag0, np_max0, True, None, None))
+                     {"k2": "force"}, {"k2": "force"}, False))
+        # swapped composition (round 4): r2c over axis -2 first, last-axis
+        # c2c over the half spectrum, Hermitian-reconstruct epilogue — the
+        # inner c2c pass (VMEM-capped [64,32]) leaves the plan entirely
+        arms.append(("swapped", flag0, np_max0, pack0, None, None, True))
+        arms.append(("swappedk2f", flag0, np_max0, pack0, None,
+                     {"k2": "force"}, True))
+        arms.append(("pack", flag0, np_max0, True, None, None, False))
         # dropped round 4: vpu (466) / vpuall (343) lost to prod (601) in
         # two independent driver runs, and vpu_wide's [128,16] inner
         # schedule crashes Mosaic even under presplit
         # (experiments/round4_race2.py) — INNER_NP_MAX stands
+    def inject_c2c_only(c2c_extra):
+        from fftw3_tpu.planner import the_planner
+        cdesc = {"alg": "pallas", "n": n, "radices": ps.choose_radices(n)}
+        cdesc.update(c2c_extra)
+        for b in (batch * n, batch * (n // 2 + 1), batch * (n // 2)):
+            the_planner.wisdom[the_planner._key(
+                "c2c", n, np.float32, b)] = {
+                "desc": cdesc, "patience": 99, "cost": 0.0}
+
     cand = []
-    for tag, flag, np_max, pack, child_extra, c2c_extra in arms:
+    for tag, flag, np_max, pack, child_extra, c2c_extra, swap in arms:
         config.pallas_vpu_last = flag
         ps.INNER_NP_MAX = np_max
         config.r2c_dc_nyquist_pack = pack
+        config.r2c_swapped = swap
         try:
             ftpu.forget_wisdom()
             if child_extra is not None:
                 inject_child(child_extra, c2c_extra)
+            elif c2c_extra is not None:
+                inject_c2c_only(c2c_extra)
             plan = ftpu.plan_dft_r2c((batch, n, n), axes=(1, 2),
                                      dtype="float32")
         except Exception as exc:                       # noqa: BLE001
@@ -290,6 +308,7 @@ def bench_r2c_2d(n: int, batch: int = 8):
             config.pallas_vpu_last = flag0
             ps.INNER_NP_MAX = np_max0
             config.r2c_dc_nyquist_pack = pack0
+            config.r2c_swapped = False
 
         def make(p):
             @jax.jit

@@ -91,6 +91,14 @@ measure_hysteresis = None
 #: returns automatically if a toolchain update fixes it.
 r2c_dc_nyquist_pack: bool = False
 
+#: SWAPPED rank-2 r2c composition (plan.py): r2c over axis -2 first (the
+#: transpose-free axis-(-2) r2c kernel), then the fast LAST-AXIS c2c over
+#: the half spectrum's rows, then one XLA Hermitian-reconstruct epilogue
+#: to the contract layout (half on the last axis).  Trades the expensive
+#: inner c2c pass (axis -2 over ~n/2 lanes) for a last-axis c2c at ~half
+#: the row count.  DEFAULT OFF; bench.py races a verify-gated arm.
+r2c_swapped: bool = False
+
 #: Surface best-effort failures instead of silently degrading.  When True,
 #: paths that normally fall back (the threads-tier parallel executor, which
 #: mirrors FFTW's silent serial fallback for loops with fewer iterations

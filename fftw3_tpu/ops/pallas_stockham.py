@@ -1258,6 +1258,159 @@ def _make_call_r2c(n: int, radices, tb: int, interpret: bool,
     return run
 
 
+def _kernel_r2c_inner(radices, n, g, tl, tw_lanes, vsign, k2mode, presplit,
+                      *refs):
+    """Axis-(-2) r2c: blocks (g, n, TL) real -> (g, n//2+1, TL) re/im.
+
+    Same half-signal DIT identity as _kernel_r2c (A = DFT_m over even
+    rows, B over odd rows, X[k] = A[k] + w^k B[k]) but with the
+    transform on the SUBLANE axis and TL trailing lanes — no HBM or
+    in-VMEM transposes at all.  The even/odd de-interleave is the free
+    sublane reshape (n, L) -> (m, 2L); A/B are the lane halves
+    (L = g*TL is a 128-multiple, so the slices are legal).
+
+    This is what makes the SWAPPED 2-D r2c composition possible: r2c
+    over axis -2 first, then the (fast) last-axis c2c over the half
+    spectrum's rows.  Role: rdft2 rank-geq2 with the real axis leading
+    (/root/reference/fftw/fftw_api.c:5552-6190), done TPU-layout-first.
+    """
+    x_ref = refs[0]
+    wr_ref, wi_ref = refs[1], refs[2]
+    crefs = refs[3:-2]
+    yr_ref, yi_ref = refs[-2], refs[-1]
+    m = n // 2
+
+    if g == 1:
+        v = x_ref[0]                               # (n, TL)
+        L = tl
+    else:
+        v = jnp.transpose(x_ref[...], (1, 0, 2)).reshape(n, g * tl)
+        L = g * tl
+    v2 = v.reshape(m, 2 * L)          # row j: [x[2j, :] | x[2j+1, :]]
+    ar, ai = _stages(radices, m, L, crefs, v2[:, :L], None,
+                     tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode,
+                     presplit=presplit)
+    br, bi = _stages(radices, m, L, crefs, v2[:, L:], None,
+                     tw_lanes=tw_lanes, sign=vsign, k2mode=k2mode,
+                     presplit=presplit)
+    afr = jnp.concatenate([ar, ar[0:1]], axis=0)          # (m+1, L)
+    afi = jnp.concatenate([ai, ai[0:1]], axis=0)
+    bfr = jnp.concatenate([br, br[0:1]], axis=0)
+    bfi = jnp.concatenate([bi, bi[0:1]], axis=0)
+    wr = wr_ref[...]                  # w[k] = exp(-2pi i k/n), (m+1, 1)
+    wi = wi_ref[...]
+    xr = afr + wr * bfr - wi * bfi
+    xi = afi + wr * bfi + wi * bfr
+    if g == 1:
+        yr_ref[0] = xr
+        yi_ref[0] = xi
+    else:
+        yr_ref[...] = jnp.transpose(xr.reshape(m + 1, g, tl), (1, 0, 2))
+        yi_ref[...] = jnp.transpose(xi.reshape(m + 1, g, tl), (1, 0, 2))
+
+
+def _make_call_r2c_inner(n: int, radices, tl: int, interpret: bool,
+                         vpu=None, k2mode=K2_DEFAULT, gsplit=None):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = n // 2
+    presplit = _use_presplit() if gsplit is None else bool(gsplit)
+    if vpu is None:
+        vpu = config.pallas_vpu_last
+    vsign = _vpu_sign(-1, vpu)
+
+    def make_fn(pre, L):
+        # same working-set budgeting as the c2c inner form, on the
+        # half-size transform (two real pipelines of m)
+        area = INNER_AREA
+        tle = tl
+        while tle * 2 <= L and n * tle * 2 <= area:
+            tle *= 2
+        g = max(1, area // (n * tle))
+        g = 1 << (g.bit_length() - 1)
+        while pre % g:
+            g //= 2
+        lanes = tle if g == 1 else g * tle
+        tw_lanes = _flat_tw_lanes(m, radices, lanes)
+        consts = _stage_consts(m, radices, -1, tw_lanes, presplit=presplit)
+        k = np.arange(m + 1, dtype=np.int64)
+        w = np.exp(-2j * np.pi * k / n)
+        flat_consts = [
+            np.ascontiguousarray(w.real, np.float32).reshape(m + 1, 1),
+            np.ascontiguousarray(w.imag, np.float32).reshape(m + 1, 1)]
+        flat_consts += [c for stage in consts for c in stage]
+        kernel = partial(_kernel_r2c_inner, tuple(radices), n, g, tle,
+                         tw_lanes, vsign, k2mode, presplit)
+        in_spec = pl.BlockSpec((g, n, tle), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((g, m + 1, tle), lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM)
+        const_specs = [pl.BlockSpec(c.shape, lambda i, j: (0, 0),
+                                    memory_space=pltpu.VMEM)
+                       for c in flat_consts]
+        grid = (pre // g, -(-L // tle))
+        out_shape = [jax.ShapeDtypeStruct((pre, m + 1, L), jnp.float32)] * 2
+        return (pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[in_spec] + const_specs,
+            out_specs=[out_spec, out_spec],
+            out_shape=out_shape,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=int(6 * m * sum(radices) * g * tle)
+                * grid[0] * grid[1],
+                bytes_accessed=int(4 * pre * n * L * 2),
+                transcendentals=0),
+        ), flat_consts)
+
+    def run(x):
+        pre, _, L = x.shape
+        fn, consts = make_fn(pre, L)
+        with _x64_off():
+            return fn(x, *consts)
+
+    return run
+
+
+def r2c_inner_applicable(n: int, trail: int, rdtype) -> bool:
+    """Gate for the axis-(-2) r2c form: even n, half-size in the kernel
+    window, and 128-multiple trailing lanes."""
+    return (n % 2 == 0 and applicable(n // 2, rdtype)
+            and trail % INNER_TILE_L == 0)
+
+
+def build_pallas_r2c_inner(desc: Dict, rdtype):
+    """Split-complex apply over axis -2: real (..., n, L) ->
+    (re, im) each (..., n//2+1, L), one kernel pass, no transposes."""
+    n = desc["n"]
+    m = n // 2
+    radices = _inner_radices(m, desc.get("radices") or choose_radices(m))
+    assert math.prod(radices) == m
+    mode = config.pallas_mode
+    if mode == "auto":
+        interpret = jax.default_backend() != "tpu"
+    elif mode == "interpret":
+        interpret = True
+    else:
+        interpret = False
+    call = _make_call_r2c_inner(n, radices, INNER_TILE_L, interpret,
+                                vpu=desc.get("vpu"),
+                                k2mode=desc.get("k2", K2_DEFAULT),
+                                gsplit=desc.get("gsplit"))
+
+    def apply(x):
+        shp = x.shape
+        pre = int(np.prod(shp[:-2])) if len(shp) > 2 else 1
+        x3 = x.reshape(pre, n, shp[-1])
+        yr, yi = call(x3)
+        out = shp[:-2] + (m + 1, shp[-1])
+        return yr.reshape(out), yi.reshape(out)
+
+    return apply
+
+
 def r2c_applicable(n: int, rdtype) -> bool:
     """Fused r2c gate: even n with a half-size in the c2c kernel window."""
     return n % 2 == 0 and applicable(n // 2, rdtype)

@@ -69,6 +69,68 @@ def _c2c_stage(desc: Dict, sign: int, rdtype, axis: int,
     return _along_axis_split(fn, neg)
 
 
+def _try_r2c_swapped(problem, pl, patience, rdtype, _vec, descriptors,
+                     stages):
+    """SWAPPED rank-2 r2c composition (config.r2c_swapped, bench-raced):
+
+    r2c over AXIS -2 first (transpose-free axis-(-2) r2c kernel), then
+    the fast LAST-AXIS c2c over the (n_a/2+1)-row half spectrum, then one
+    XLA Hermitian-reconstruct epilogue back to the contract layout (half
+    spectrum on the LAST axis).  The transforms commute, and real input
+    gives X[u, v] = conj(X[n_a-u, (n_l-v) % n_l]), so the missing rows
+    u > n_a/2 are a flip+roll+conj gather of the computed ones.
+
+    Wins when the axis-(-2) c2c pass is the bottleneck (2048^2: the inner
+    form is VMEM-capped at a [64,32] schedule while the last-axis kernel
+    runs [128,16]+k2) — the c2c pass shrinks to ~half the rows AND moves
+    to the faster kernel form, at the price of ~1.5 HBM sweeps of
+    epilogue.  Role: rdft2 rank-geq2 with the real axis leading,
+    /root/reference/fftw/fftw_api.c:5552-6190.
+
+    Returns the output-shape list (mutating descriptors/stages) or None
+    when inapplicable — the caller falls through to the normal
+    last-axis-first composition.
+    """
+    from . import config as _config
+    from .ops import pallas_stockham as _ps
+    shape, axes = problem.shape, problem.axes
+    nd = len(shape)
+    if not (_config.r2c_swapped and len(axes) == 2
+            and axes[0] == nd - 2 and axes[1] == nd - 1):
+        return None
+    n_a, n_l = shape[axes[0]], shape[axes[1]]
+    if not _ps.r2c_inner_applicable(n_a, n_l, rdtype):
+        return None
+    m_a, m_l = n_a // 2, n_l // 2
+    rdesc = pl.plan_r2c(n_a, rdtype, patience, batch=_vec(axes[0]))
+    if rdesc.get("alg") != "pallas_r2c":
+        return None        # planner chose a non-kernel path; keep normal
+    idesc = dict(rdesc, alg="pallas_r2c_inner")
+    descriptors[axes[0]] = idesc
+    inner = _ps.build_pallas_r2c_inner(idesc, rdtype)
+
+    def r2c_stage(x):
+        yr, yi = inner(x)
+        return yr + 1j * yi
+    stages.append(r2c_stage)
+    cdesc = pl.plan_c2c(n_l, rdtype, patience, batch=_vec(axes[1]))
+    descriptors[axes[1]] = cdesc
+    pass_shape = shape[:-2] + (m_a + 1, n_l)
+    stages.append(_complex_of_split(
+        _c2c_stage(cdesc, K.FORWARD, rdtype, nd - 1, pass_shape)))
+
+    def reconstruct(C):
+        # D[..., u', v] = C[..., u', (n_l - v) % n_l]
+        D = jnp.roll(jnp.flip(C, axis=-1), 1, axis=-1)[..., :m_l + 1]
+        top = C[..., :, :m_l + 1]                   # rows u <= m_a
+        bot = jnp.conj(jnp.flip(D[..., 1:m_a, :], axis=-2))
+        return jnp.concatenate([top, bot], axis=-2)
+    stages.append(reconstruct)
+    out = list(shape)
+    out[-1] = m_l + 1
+    return out
+
+
 def _complex_of_split(split_fn: Callable) -> Callable:
     """Lift a split-complex stage to a complex-array stage (the split and
     recombine fuse into the neighboring XLA ops)."""
@@ -294,9 +356,20 @@ def _make_plan_inner(problem: Problem, flags: int,
     elif problem.kind == "r2c":
         last = axes[-1]
         n_last = shape[last]
+        nd = len(shape)
+        swapped = _try_r2c_swapped(problem, pl, patience, rdtype, _vec,
+                                   descriptors, stages)
+        if swapped is not None:
+            out_shape, out_dtype = tuple(swapped), ctype
+
+            def apply_sw(x, _st=tuple(stages)):
+                for s in _st:
+                    x = s(x)
+                return x
+            return Plan(problem, descriptors, apply_sw, shape, out_shape,
+                        out_dtype)
         desc = pl.plan_r2c(n_last, rdtype, patience, batch=_vec(last))
         descriptors[last] = desc
-        nd = len(shape)
         stages.append(_along_axis(real_ops.build_r2c(desc, rdtype),
                                   last - nd))
         out = list(shape)

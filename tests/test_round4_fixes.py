@@ -83,6 +83,59 @@ def test_c2c_k2_force_matches_budgeted():
         assert _relerr(np.asarray(yr) + 1j * np.asarray(yi), ref) < 2e-5
 
 
+def test_r2c_inner_kernel():
+    """Axis-(-2) r2c kernel directly: real (pre, n, L) -> half spectrum
+    over axis -2, no transposes."""
+    pre, n, L = 3, 256, 384
+    x = RNG.standard_normal((pre, n, L)).astype(np.float32)
+    ref = np.fft.rfft(x.astype(np.float64), axis=1)
+    f = ps.build_pallas_r2c_inner({"alg": "pallas_r2c_inner", "n": n},
+                                  np.float32)
+    yr, yi = jax.jit(f)(x)
+    assert _relerr(np.asarray(yr) + 1j * np.asarray(yi), ref) < 2e-5
+
+
+@pytest.mark.parametrize("shape", [(2, 256, 384), (256, 512)])
+def test_r2c_swapped_composition(shape):
+    """config.r2c_swapped: axis-(-2) r2c + last-axis c2c + Hermitian
+    reconstruct must match rfftn exactly (contract layout: half spectrum
+    on the LAST axis)."""
+    import fftw3_tpu as ftpu
+    from fftw3_tpu.planner import the_planner
+    axes = tuple(range(len(shape) - 2, len(shape)))
+    x = RNG.standard_normal(shape).astype(np.float32)
+    ftpu.forget_wisdom()
+    # pin the axis-(-2) r2c to the kernel solver (the CPU-tier cost model
+    # may otherwise pick dense at small n, which correctly disables the
+    # swap — here we exercise the swapped composition itself)
+    n_a = shape[-2]
+    vec = int(np.prod(shape)) // n_a
+    the_planner.wisdom[the_planner._key("r2c", n_a, np.float32, vec)] = {
+        "desc": {"alg": "pallas_r2c", "n": n_a,
+                 "radices": ps.choose_radices(n_a // 2)},
+        "patience": 99, "cost": 0.0}
+    ftpu.config.r2c_swapped = True
+    mode0 = ftpu.config.pallas_mode
+    ftpu.config.pallas_mode = "interpret"   # "auto" on CPU gates pallas off
+    try:
+        p = ftpu.plan_dft_r2c(shape, axes=axes, dtype="float32")
+    finally:
+        ftpu.config.r2c_swapped = False
+        ftpu.config.pallas_mode = mode0
+        ftpu.forget_wisdom()
+    assert "pallas_r2c_inner" in repr(p)
+    y = np.asarray(jax.jit(p.apply)(x))
+    ref = np.fft.rfftn(x.astype(np.float64), axes=axes)
+    assert y.shape == ref.shape
+    assert _relerr(y, ref) < 2e-5
+    # extra LEADING batch dims at apply time must still work
+    xb = RNG.standard_normal((2,) + shape).astype(np.float32)
+    yb = np.asarray(jax.jit(p.apply)(xb))
+    refb = np.fft.rfftn(xb.astype(np.float64),
+                        axes=tuple(a + 1 for a in axes))
+    assert _relerr(yb, refb) < 2e-5
+
+
 def test_merge_tb64_is_buildable_but_gated():
     """tb=64 + merge builds (the 64-lane recombine slices only crash the
     REAL Mosaic compiler, not interpret mode) — documents why the bench
