@@ -266,12 +266,12 @@ def bench_r2c_2d(n: int, batch: int = 8):
         # twiddle and raises VMEM pressure); capability kept, arm dropped.
         arms.append(("k2force", flag0, np_max0, pack0,
                      {"k2": "force"}, {"k2": "force"}, False))
-        # swapped composition (round 4): r2c over axis -2 first, last-axis
-        # c2c over the half spectrum, Hermitian-reconstruct epilogue — the
-        # inner c2c pass (VMEM-capped [64,32]) leaves the plan entirely
-        arms.append(("swapped", flag0, np_max0, pack0, None, None, True))
-        arms.append(("swappedk2f", flag0, np_max0, pack0, None,
-                     {"k2": "force"}, True))
+        # NOT raced: the swapped composition (r2c over axis -2 first +
+        # last-axis c2c + Hermitian reconstruct, config.r2c_swapped) LOST
+        # 2:1 on chip (288 vs 601 GFLOPS, 3 interleaved reps) — the
+        # flip+roll+conj epilogue alone costs 1.4-1.8 ms at 2048^2
+        # (experiments/r2c_swapped_attrib.py), eating the entire pass
+        # saving.  Kept as an opt-in layout capability only.
         arms.append(("pack", flag0, np_max0, True, None, None, False))
         # dropped round 4: vpu (466) / vpuall (343) lost to prod (601) in
         # two independent driver runs, and vpu_wide's [128,16] inner
@@ -591,7 +591,7 @@ def _autotune_4096(batch: int = 4096) -> None:
     n = 4096
     p4, q4 = ps.choose_fourstep(n)
     descs = {"pallas4": {"alg": "pallas4", "n": n, "p": p4, "q": q4}}
-    for tb in (512, 1024):
+    for tb in (512, 1024, 2048):
         descs[f"pallas4tb{tb}"] = {"alg": "pallas4", "n": n, "p": p4,
                                    "q": q4, "tile_b": tb}
     descs["pallas4tb512r168"] = {"alg": "pallas4", "n": n, "p": p4,

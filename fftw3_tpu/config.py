@@ -96,7 +96,14 @@ r2c_dc_nyquist_pack: bool = False
 #: the half spectrum's rows, then one XLA Hermitian-reconstruct epilogue
 #: to the contract layout (half on the last axis).  Trades the expensive
 #: inner c2c pass (axis -2 over ~n/2 lanes) for a last-axis c2c at ~half
-#: the row count.  DEFAULT OFF; bench.py races a verify-gated arm.
+#: the row count.  DEFAULT OFF and NOT bench-raced: measured round 4 at
+#: 2048^2 it LOSES 2:1 (288 vs 601 GFLOPS, 3 interleaved reps) — the
+#: Hermitian-reconstruct epilogue alone costs 1.4-1.8 ms
+#: (experiments/r2c_swapped_attrib.py: inner r2c 1601 us, c2c pass
+#: 2714 us, epilogue 1395-1836 us vs prod's 3070 us total).  Kept as an
+#: opt-in LAYOUT option: a consumer that can read the
+#: [half axis -2, full last] layout directly (TRANSPOSED_OUT spirit)
+#: would skip the epilogue entirely.
 r2c_swapped: bool = False
 
 #: Surface best-effort failures instead of silently degrading.  When True,
