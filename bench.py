@@ -369,26 +369,75 @@ def bench_dct2(n: int, batch: int):
     from fftw3_tpu.utils import timing
 
     b1, b2 = batch // 4, batch
-    plan = ftpu.plan_r2r((b2, n), ["redft10"], axes=(1,), dtype="float32")
     rng = np.random.default_rng(0)
-    run = jax.jit(lambda a: (plan.apply(a),))
-
     x2 = jnp.asarray(rng.standard_normal((b2, n)), jnp.float32)
-    y = np.asarray(run(x2)[0][:64])
+    x1 = jnp.asarray(rng.standard_normal((b1, n)), jnp.float32)
     # FFTW REDFT10: X[k] = 2 sum_j x[j] cos(pi(j+1/2)k/n)
     j = np.arange(n)[:, None]
     k = np.arange(n)[None, :]
     M = 2.0 * np.cos(np.pi * (j + 0.5) * k / n)
     ref = np.asarray(x2[:64]).astype(np.float64) @ M
-    relerr = _check(_relerr(y, ref), f"dct2 n={n}")
 
-    plan1 = ftpu.plan_r2r((b1, n), ["redft10"], axes=(1,), dtype="float32")
-    run1 = jax.jit(lambda a: (plan1.apply(a),))
-    x1 = jnp.asarray(rng.standard_normal((b1, n)), jnp.float32)
-    t1, t2 = timing.time_chained_multi([(run1, (x1,)), (run, (x2,))],
-                                       reps=7)
-    t = max(t2 - t1, 1e-12)                 # marginal time for b2-b1 rows
+    def _mkplans(inject_half):
+        from fftw3_tpu.planner import the_planner
+        ftpu.forget_wisdom()
+        if inject_half:
+            for b in (b1, b2):
+                the_planner.wisdom[the_planner._key(
+                    "redft10", n, np.float32, b)] = {
+                    "desc": {"alg": "redft10_half", "n": n,
+                             "child": the_planner.plan_r2c(
+                                 n, np.float32, 0, batch=b)},
+                    "patience": 99, "cost": 0.0}
+        p2 = ftpu.plan_r2r((b2, n), ["redft10"], axes=(1,),
+                           dtype="float32")
+        p1 = ftpu.plan_r2r((b1, n), ["redft10"], axes=(1,),
+                           dtype="float32")
+        ftpu.forget_wisdom()
+        return p1, p2
+
+    # A/B: the planner's static choice (dense kind-matrix matmul at
+    # n<=512) vs the Makhoul half-size r2c path — MXU-saturated dense vs
+    # memory-bound FFT; which wins is a chip-state question, so race it
+    arms = {}
+    for tag, inj in (("prod", False), ("half", True)):
+        try:
+            p1, p2 = _mkplans(inj)
+            r1 = jax.jit(lambda a, p=p1: (p.apply(a),))
+            r2 = jax.jit(lambda a, p=p2: (p.apply(a),))
+            err = _relerr(np.asarray(r2(x2)[0][:64]), ref)
+            if tag == "prod":
+                relerr = _check(err, f"dct2 n={n}")
+                plan = p2
+            if err < VERIFY_TOL:
+                arms[tag] = (r1, r2, p2, err)
+            else:
+                print(f"# dct2 {tag}: verify miss {err:.1e}",
+                      file=sys.stderr)
+        except Exception as exc:                       # noqa: BLE001
+            if tag == "prod":
+                raise
+            print(f"# dct2 {tag}: FAIL {str(exc)[:100]}", file=sys.stderr)
+
+    configs = []
+    tags = list(arms)
+    for tag in tags:
+        r1, r2, _, _ = arms[tag]
+        configs.extend([(r1, (x1,)), (r2, (x2,))])
+    ts = timing.time_chained_multi(configs, reps=7)
     flops = 2.5 * n * np.log2(float(n)) * (b2 - b1)
+    best = None
+    for i, tag in enumerate(tags):
+        t = max(ts[2 * i + 1] - ts[2 * i], 1e-12)   # marginal b2-b1 rows
+        if len(tags) > 1:
+            print(f"# dct2 {tag}: {flops/t/1e9:.0f} GFLOPS slope",
+                  file=sys.stderr)
+        if best is None or t < best[0]:
+            best = (t, tag)
+    t, tag = best
+    if tag != "prod":
+        print(f"# dct2: selected {tag}", file=sys.stderr)
+    plan, relerr = arms[tag][2], arms[tag][3]
     return flops / t, t, repr(plan), relerr
 
 
