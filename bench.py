@@ -646,6 +646,11 @@ def _autotune_4096(batch: int = 4096) -> None:
     descs["pallas4tb512r168"] = {"alg": "pallas4", "n": n, "p": p4,
                                  "q": q4, "tile_b": 512,
                                  "radices": [16, 8]}
+    # wider inner-pass blocks too (the p=32 leg's (32, 32, 128) blocks
+    # are 0.5 MB; 4x the area budget halves its grid twice)
+    descs["pallas4tb512ia4"] = {"alg": "pallas4", "n": n, "p": p4,
+                                "q": q4, "tile_b": 512,
+                                "inner_area": 4 * ps.INNER_AREA}
     fns = {}
     for tag, d in descs.items():
         try:

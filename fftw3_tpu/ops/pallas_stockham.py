@@ -818,10 +818,13 @@ def _inner_radices(n: int, radices: Sequence[int]) -> List[int]:
 
 def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
                      interpret: bool, vpu=None, k2mode=K2_DEFAULT,
-                     gsplit=None):
+                     gsplit=None, area=None):
     """pallas_call factory for the axis -2 form: data (pre, n, L), blocks
     (G, n, TL) — no HBM-level transposes (the lanes ARE the trailing
-    dims); G leading rows amortize per-block overhead for small n."""
+    dims); G leading rows amortize per-block overhead for small n.
+    ``area`` overrides the INNER_AREA working-set budget (desc-carried:
+    small-n inner passes like pallas4's p=32 leg can afford wider
+    blocks)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -829,13 +832,14 @@ def _make_call_inner(n: int, radices: Sequence[int], sign: int, tl: int,
         vpu = config.pallas_vpu_last       # build-time snapshot
     vsign = _vpu_sign(sign, vpu)
     presplit = _use_presplit() if gsplit is None else bool(gsplit)
+    area0 = INNER_AREA if area is None else int(area)
 
     def make_fn(pre, L):
         # budget an (n x lanes) working set ~ the 1-D kernel's: first widen
         # the lane tile (cheap), then group leading rows.  L need not be a
         # tile multiple: Pallas masks the partial edge block, and row-FFT
         # math is lane-independent.
-        area = INNER_AREA
+        area = area0
         tle = tl
         while tle * 2 <= L and n * tle * 2 <= area:
             tle *= 2
@@ -1649,8 +1653,10 @@ def build_pallas_c2c_split_fourstep(desc: Dict, sign: int, rdtype):
     vpu = config.pallas_vpu_last           # pin for fwd AND lazy adjoint
     k2mode = desc.get("k2", K2_DEFAULT)
     gsplit = desc.get("gsplit")
+    iarea = desc.get("inner_area")         # wider inner blocks (autotuned)
     inner = _make_call_inner(p, rad_p, sign, INNER_TILE_L, interpret,
-                             vpu=vpu, k2mode=k2mode, gsplit=gsplit)
+                             vpu=vpu, k2mode=k2mode, gsplit=gsplit,
+                             area=iarea)
     outer = _make_call(q, rad_q, sign, tb, interpret, pretwiddle_p=p,
                        store_transposed=fstore, vpu=vpu, k2mode=k2mode,
                        gsplit=gsplit)
@@ -1697,7 +1703,7 @@ def build_pallas_c2c_split_fourstep(desc: Dict, sign: int, rdtype):
         if adj[0] is None:
             adj[0] = (_make_call_inner(p, rad_p, -sign, INNER_TILE_L,
                                        interpret, vpu=vpu, k2mode=k2mode,
-                                       gsplit=gsplit),
+                                       gsplit=gsplit, area=iarea),
                       _make_call(q, rad_q, -sign, tb, interpret,
                                  pretwiddle_p=p, store_transposed=fstore,
                                  vpu=vpu, k2mode=k2mode, gsplit=gsplit))
