@@ -136,6 +136,33 @@ def test_r2c_swapped_composition(shape):
     assert _relerr(yb, refb) < 2e-5
 
 
+def test_system_wisdom_file_is_valid():
+    """wisdom/v5e.json (the shipped system wisdom, round-4 on-chip
+    winners) must parse, import, and contain only structurally valid
+    descriptors.  The v5e device signature never matches the CPU test
+    runtime, so entries are validated directly rather than via plans."""
+    import json
+    import os
+    import fftw3_tpu as ftpu
+    from fftw3_tpu.planner import validate_desc
+
+    path = os.path.join(os.path.dirname(__file__), "..", "wisdom",
+                        "v5e.json")
+    w = json.load(open(path))
+    assert w["format"].startswith("fftw3-tpu-wisdom")
+    assert w["entries"]
+    for key, v in w["entries"].items():
+        kind, ns = key.split(":")[:2]
+        assert validate_desc(kind, int(ns), v["desc"]), key
+        assert v["patience"] >= 1 and v["cost"] > 0
+    os.environ["FFTW3_TPU_SYSTEM_WISDOM"] = path
+    try:
+        assert ftpu.import_system_wisdom()
+    finally:
+        del os.environ["FFTW3_TPU_SYSTEM_WISDOM"]
+        ftpu.forget_wisdom()
+
+
 def test_merge_tb64_is_buildable_but_gated():
     """tb=64 + merge builds (the 64-lane recombine slices only crash the
     REAL Mosaic compiler, not interpret mode) — documents why the bench

@@ -1,0 +1,72 @@
+"""Regenerate wisdom/v5e.json from the round-4 ON-CHIP measured winners.
+
+FFTW ships system wisdom (/etc/fftw/wisdom, fftw-wisdom -o); this is the
+TPU-v5e analog: the descriptors that won same-session interleaved races
+on real hardware (BASELINE.md round 4), keyed over the batch buckets the
+regimes were measured in.  Load with
+``FFTW3_TPU_SYSTEM_WISDOM=wisdom/v5e.json`` + ``import_system_wisdom()``
+or ``import_wisdom_from_filename``.
+
+Winners drift +-15% between sessions (CLAUDE.md measurement discipline),
+so these are DEFAULTS that beat the static cost model, not guarantees —
+bench.py still re-races arms at driver time and its injections override.
+"""
+import json
+import sys
+
+SIG = "tpu-TPU_v5_lite"
+PM = 2     # PATIENT: honored at ESTIMATE/MEASURE/PATIENT requests
+
+ENTRIES = {}
+
+
+def put(kind, n, dtype, buckets, desc, cost):
+    for b in buckets:
+        ENTRIES[f"{kind}:{n}:{dtype}:{SIG}:b{b}"] = {
+            "desc": desc, "patience": PM, "cost": cost}
+
+
+# headline kernel: presplit [32,32] won three driver sessions (34.7 /
+# 41.7 / 50.6 ps/pt slopes, always ahead of [64,16] prod)
+put("c2c", 1024, "float32", range(3, 9),
+    {"alg": "pallas", "n": 1024, "radices": [32, 32], "tile_b": 128,
+     "k2": "first", "gsplit": True}, 4.5e-08)
+
+# n=4096 four-step with the widened outer row tile (tb512 79.6/91.5
+# ps/pt vs prod-128's 105.8/118.2; tb1024 won one session — autotune
+# still races both at driver time)
+put("c2c", 4096, "float32", range(4, 8),
+    {"alg": "pallas4", "n": 4096, "p": 32, "q": 128, "tile_b": 512},
+    3.5e-07)
+
+# n=2048 with the forced fused cross pass (the k2force r2c arm won two
+# driver runs: 609/613.8 vs prod 591/~597)
+put("c2c", 2048, "float32", (6, 7),
+    {"alg": "pallas", "n": 2048, "radices": [128, 16], "k2": "force"},
+    1.1e-07)
+put("r2c", 2048, "float32", (6, 7),
+    {"alg": "pallas_r2c", "n": 2048, "radices": [64, 16],   # half-size m
+     "k2": "force"}, 6.0e-08)
+
+# f64 tier: the fused double-float Pallas kernel (df32p) beat the XLA
+# df32 pipeline in every measured block (176 vs 150.6; 575.8 vs 137.2;
+# 201.9 vs 135.1) at 6.1e-15 — 50-135x the emulated-f64 4.2 GFLOPS
+put("c2c", 1024, "float64", range(3, 7),
+    {"alg": "df32p", "n": 1024, "radices": [64, 16]}, 2.6e-07)
+
+# n=1000: the planner's static [50,20] kept winning its autotune
+# (94.3 ps/pt vs [40,25] 116 / [100,10] 122 / [125,8] 108)
+put("c2c", 1000, "float32", range(4, 8),
+    {"alg": "pallas", "n": 1000, "radices": [50, 20]}, 9.5e-08)
+
+
+def main(path="wisdom/v5e.json"):
+    doc = {"format": "fftw3-tpu-wisdom-2", "signature": SIG,
+           "entries": ENTRIES}
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    print(f"wrote {len(ENTRIES)} entries to {path}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
