@@ -136,6 +136,25 @@ def test_r2c_swapped_composition(shape):
     assert _relerr(yb, refb) < 2e-5
 
 
+def test_x64_ambient_does_not_change_pallas_results():
+    """Round-4 fix: every pallas invocation traces under a scoped
+    x64-off context (ambient jax_enable_x64 crashes fresh Mosaic
+    compiles on the real toolchain).  The wrapper must (a) leave the
+    global flag intact and (b) produce identical results either way —
+    the kernels are all-f32, so 32-bit tracing changes nothing."""
+    n = 256
+    x = RNG.standard_normal((128, n)).astype(np.float32)
+    xi = RNG.standard_normal((128, n)).astype(np.float32)
+    f = jax.jit(ps.build_pallas_c2c_split(
+        {"alg": "pallas", "n": n, "radices": [16, 16]}, -1, np.float32))
+    y0 = np.asarray(f(x, xi)[0])
+    assert jax.config.jax_enable_x64  # conftest turns it on for oracles
+    with jax.enable_x64(True):
+        y1 = np.asarray(f(x, xi)[0])
+    np.testing.assert_array_equal(y0, y1)
+    assert jax.config.jax_enable_x64
+
+
 def test_system_wisdom_file_is_valid():
     """wisdom/v5e.json (the shipped system wisdom, round-4 on-chip
     winners) must parse, import, and contain only structurally valid
