@@ -379,15 +379,23 @@ def bench_dct2(n: int, batch: int):
     ref = np.asarray(x2[:64]).astype(np.float64) @ M
 
     def _mkplans(inject_half):
+        from fftw3_tpu import config as _cfg
+        from fftw3_tpu.ops import pallas_stockham as _ps
         from fftw3_tpu.planner import the_planner
         ftpu.forget_wisdom()
         if inject_half:
             for b in (b1, b2):
+                if inject_half == "pallas" and _ps.r2c_applicable(
+                        n, np.float32):
+                    child = {"alg": "pallas_r2c", "n": n,
+                             "radices": _ps.choose_radices(n // 2)}
+                else:
+                    child = the_planner.plan_r2c(n, np.float32, 0,
+                                                 batch=b)
                 the_planner.wisdom[the_planner._key(
                     "redft10", n, np.float32, b)] = {
                     "desc": {"alg": "redft10_half", "n": n,
-                             "child": the_planner.plan_r2c(
-                                 n, np.float32, 0, batch=b)},
+                             "child": child},
                     "patience": 99, "cost": 0.0}
         p2 = ftpu.plan_r2r((b2, n), ["redft10"], axes=(1,),
                            dtype="float32")
@@ -397,10 +405,12 @@ def bench_dct2(n: int, batch: int):
         return p1, p2
 
     # A/B: the planner's static choice (dense kind-matrix matmul at
-    # n<=512) vs the Makhoul half-size r2c path — MXU-saturated dense vs
-    # memory-bound FFT; which wins is a chip-state question, so race it
+    # n<=512) vs the Makhoul half-size r2c path (planner child AND the
+    # fused pallas_r2c child) — MXU-saturated dense vs memory-bound FFT;
+    # which wins is a chip-state question, so race it
     arms = {}
-    for tag, inj in (("prod", False), ("half", True)):
+    for tag, inj in (("prod", False), ("half", True),
+                     ("halfpallas", "pallas")):
         try:
             p1, p2 = _mkplans(inj)
             r1 = jax.jit(lambda a, p=p1: (p.apply(a),))
