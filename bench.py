@@ -266,6 +266,12 @@ def bench_r2c_2d(n: int, batch: int = 8):
         # twiddle and raises VMEM pressure); capability kept, arm dropped.
         arms.append(("k2force", flag0, np_max0, pack0,
                      {"k2": "force"}, {"k2": "force"}, False))
+        # wider axis-1 inner blocks on top of k2force (lanes 256 at
+        # n=2048: 2 MB planes — VMEM-risky, compile/verify-gated)
+        arms.append(("k2fwide", flag0, np_max0, pack0,
+                     {"k2": "force"},
+                     {"k2": "force", "inner_area": 2 * ps.INNER_AREA},
+                     False))
         # NOT raced: the swapped composition (r2c over axis -2 first +
         # last-axis c2c + Hermitian reconstruct, config.r2c_swapped) LOST
         # 2:1 on chip (288 vs 601 GFLOPS, 3 interleaved reps) — the

@@ -1058,8 +1058,9 @@ def build_pallas_c2c_split_inner(desc: Dict, sign: int, rdtype):
         vpu = config.pallas_vpu_last
     k2mode = desc.get("k2", K2_DEFAULT)
     gsplit = desc.get("gsplit")
+    iarea = desc.get("inner_area")
     call = _make_call_inner(n, radices, sign, tl, interpret, vpu=vpu,
-                            k2mode=k2mode, gsplit=gsplit)
+                            k2mode=k2mode, gsplit=gsplit, area=iarea)
     adj_call = [None]
 
     def _run(xr, xi, c):
@@ -1080,7 +1081,7 @@ def build_pallas_c2c_split_inner(desc: Dict, sign: int, rdtype):
         if adj_call[0] is None:
             adj_call[0] = _make_call_inner(n, radices, -sign, tl, interpret,
                                            vpu=vpu, k2mode=k2mode,
-                                           gsplit=gsplit)
+                                           gsplit=gsplit, area=iarea)
         return _run(g[0], g[1], adj_call[0])
 
     apply.defvjp(fwd, bwd)
