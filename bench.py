@@ -410,13 +410,14 @@ def bench_dct2(n: int, batch: int):
         ftpu.forget_wisdom()
         return p1, p2
 
-    # A/B: the planner's static choice (dense kind-matrix matmul at
-    # n<=512) vs the Makhoul half-size r2c path (planner child AND the
-    # fused pallas_r2c child) — MXU-saturated dense vs memory-bound FFT;
-    # which wins is a chip-state question, so race it
+    # The Makhoul half-size arms were raced once on chip (run 6) and
+    # LOST 10x (prod dense 1616 GFLOPS slope vs half 175 / halfpallas
+    # 139): at n=512 the dense kind-matrix matmul is MXU-saturated while
+    # the half path pays gather/untangle sweeps.  Arms dropped; the
+    # capability remains a planner candidate (redft10_half) for sizes
+    # past the dense window.
     arms = {}
-    for tag, inj in (("prod", False), ("half", True),
-                     ("halfpallas", "pallas")):
+    for tag, inj in (("prod", False),):
         try:
             p1, p2 = _mkplans(inj)
             r1 = jax.jit(lambda a, p=p1: (p.apply(a),))
@@ -593,6 +594,18 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
     if len(good) < 2 or good[0][0] != "prod":
         return                                         # nothing to decide
 
+    from fftw3_tpu.planner import the_planner
+
+    def _inject_arm(arm):
+        tag_, flag_, rad_, k2_, gs_, tb_ = arm
+        config.pallas_vpu_last = flag_
+        the_planner.wisdom[the_planner._key("c2c", n, np.float32,
+                                            batch)] = {
+            "desc": {"alg": "pallas", "n": n, "radices": list(rad_),
+                     "tile_b": tb_, "vpu": flag_, "k2": k2_,
+                     "gsplit": gs_},
+            "patience": 99, "cost": 0.0}
+
     b_lo, b_hi = 8192, 24576
     configs = []
     for tag, *_ in good:
@@ -600,7 +613,21 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
             xr = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
             xi = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
             configs.append((fns[tag], (xr, xi)))
-    ts = timing.time_chained_multi(configs, k1=4, k2=16, reps=7)
+    try:
+        ts = timing.time_chained_multi(configs, k1=4, k2=16, reps=7)
+    except Exception as exc:                           # noqa: BLE001
+        # timing needs fresh compiles at the timing batches; on a
+        # transient remote-compile 500, fall back to the cross-session
+        # winner if it verified this session (run-6 autotune4096
+        # incident — same failure shape)
+        print(f"# autotune timing failed: {str(exc)[:90]}",
+              file=sys.stderr)
+        win = next((a for a in good if a[0] == f"ps{[32, 32]}"), None)
+        if win is not None and n == 1024:
+            _inject_arm(win)
+            print("# autotune: timing failed — injecting verified "
+                  "ps[32, 32] (cross-session winner)", file=sys.stderr)
+        return
     slopes = {}
     for i, (tag, *_) in enumerate(good):
         s = (ts[2 * i + 1] - ts[2 * i]) / ((b_hi - b_lo) * n)
@@ -695,6 +722,13 @@ def _autotune_4096(batch: int = 4096) -> None:
     if len(good) < 2 or good[0] != "pallas4":
         return
 
+    from fftw3_tpu.planner import the_planner
+
+    def _inject(tag):
+        key = the_planner._key("c2c", n, np.float32, batch)
+        the_planner.wisdom[key] = {
+            "desc": descs[tag], "patience": 99, "cost": 0.0}
+
     b_lo, b_hi = 1024, 3072
     configs = []
     for tag in good:
@@ -702,7 +736,21 @@ def _autotune_4096(batch: int = 4096) -> None:
             xr = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
             xi = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
             configs.append((fns[tag], (xr, xi)))
-    ts = timing.time_chained_multi(configs, k1=4, k2=16, reps=7)
+    try:
+        ts = timing.time_chained_multi(configs, k1=4, k2=16, reps=7)
+    except Exception as exc:                           # noqa: BLE001
+        # the timing chain needs FRESH compiles at the timing batches and
+        # the remote compiler throws transient 500s (run-6 incident:
+        # every arm verified, timing crashed, and the config silently
+        # fell back to the unwidened pallas4 at 520 GFLOPS).  Fall back
+        # to the cross-session winner IF it verified this session.
+        print(f"# autotune4096 timing failed: {str(exc)[:90]}",
+              file=sys.stderr)
+        if "pallas4tb512" in good:
+            _inject("pallas4tb512")
+            print("# autotune4096: timing failed — injecting verified "
+                  "pallas4tb512 (cross-session winner)", file=sys.stderr)
+        return
     slopes = {}
     for i, tag in enumerate(good):
         s = (ts[2 * i + 1] - ts[2 * i]) / ((b_hi - b_lo) * n)
@@ -712,10 +760,7 @@ def _autotune_4096(batch: int = 4096) -> None:
     if best_tag == "pallas4":
         print("# autotune4096: keeping pallas4", file=sys.stderr)
         return
-    from fftw3_tpu.planner import the_planner
-    key = the_planner._key("c2c", n, np.float32, batch)
-    the_planner.wisdom[key] = {
-        "desc": descs[best_tag], "patience": 99, "cost": 0.0}
+    _inject(best_tag)
     print(f"# autotune4096: selected {best_tag}", file=sys.stderr)
 
 
