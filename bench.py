@@ -642,18 +642,12 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
     if best_tag == "prod":
         print("# autotune: keeping prod defaults", file=sys.stderr)
         return
-    _, flag, rad, k2, gs, tb = next(a for a in good if a[0] == best_tag)
-    config.pallas_vpu_last = flag
-    from fftw3_tpu.planner import the_planner
-    key = the_planner._key("c2c", n, np.float32, batch)
+    win = next(a for a in good if a[0] == best_tag)
     # the desc carries the variant ("vpu"/"k2") so the winning plan is
     # pinned independent of later global-flag flips (wisdom = unit of
     # choice)
-    the_planner.wisdom[key] = {
-        "desc": {"alg": "pallas", "n": n, "radices": list(rad),
-                 "tile_b": tb, "vpu": flag, "k2": k2,
-                 "gsplit": gs},
-        "patience": 99, "cost": 0.0}
+    _inject_arm(win)
+    _, flag, rad, k2, gs, tb = win
     print(f"# autotune: selected {best_tag} "
           f"(vpu_last={flag}, radices={list(rad)}, k2={k2}, gsplit={gs})",
           file=sys.stderr)
