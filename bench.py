@@ -574,10 +574,16 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
             print(f"# autotune {tag}: build FAIL {str(exc)[:100]}",
                   file=sys.stderr)
 
+    tb_lo, tb_hi = 8192, 24576
     rng = np.random.default_rng(7)
     vr = rng.standard_normal((256, n)).astype(np.float32)
     vi = rng.standard_normal((256, n)).astype(np.float32)
     ref = np.fft.fft((vr + 1j * vi).astype(np.complex128), axis=1)
+    # pre-compile at the timing batches (shape-specialized functions: an
+    # arm can verify at 256 yet crash the remote compiler at the timing
+    # shapes, killing the whole interleaved race — autotune4096 runs 6-7)
+    pr_lo = jnp.zeros((tb_lo, n), jnp.float32)
+    pr_hi = jnp.zeros((tb_hi, n), jnp.float32)
     good = []
     for tag, flag, rad, k2, gs, tb in arms:
         if tag not in fns:
@@ -587,10 +593,12 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
             err = _relerr(np.asarray(yr) + 1j * np.asarray(yi), ref)
             print(f"# autotune {tag}: relerr={err:.1e}", file=sys.stderr)
             if err < VERIFY_TOL:
+                fns[tag](pr_lo, pr_lo)[0].block_until_ready()
+                fns[tag](pr_hi, pr_hi)[0].block_until_ready()
                 good.append((tag, flag, rad, k2, gs, tb))
         except Exception as exc:                       # noqa: BLE001
-            print(f"# autotune {tag}: verify FAIL {str(exc)[:100]}",
-                  file=sys.stderr)
+            print(f"# autotune {tag}: verify/compile FAIL "
+                  f"{str(exc)[:100]}", file=sys.stderr)
     if len(good) < 2 or good[0][0] != "prod":
         return                                         # nothing to decide
 
@@ -606,7 +614,7 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
                      "gsplit": gs_},
             "patience": 99, "cost": 0.0}
 
-    b_lo, b_hi = 8192, 24576
+    b_lo, b_hi = tb_lo, tb_hi
     configs = []
     for tag, *_ in good:
         for b in (b_lo, b_hi):
@@ -697,10 +705,17 @@ def _autotune_4096(batch: int = 4096) -> None:
             print(f"# autotune4096 {tag}: build FAIL {str(exc)[:100]}",
                   file=sys.stderr)
 
+    b_lo, b_hi = 1024, 3072
     rng = np.random.default_rng(11)
     vr = rng.standard_normal((256, n)).astype(np.float32)
     vi = rng.standard_normal((256, n)).astype(np.float32)
     ref = np.fft.fft((vr + 1j * vi).astype(np.complex128), axis=1)
+    # pre-compile probes at BOTH timing batches: pallas_call functions
+    # are shape-specialized, so an arm can verify at 256 yet crash the
+    # remote compiler at the timing shapes — which killed the whole
+    # interleaved race in runs 6-7.  Probing here drops just that arm.
+    pr_lo = jnp.zeros((b_lo, n), jnp.float32)
+    pr_hi = jnp.zeros((b_hi, n), jnp.float32)
     good = []
     for tag, fn in fns.items():
         try:
@@ -709,10 +724,12 @@ def _autotune_4096(batch: int = 4096) -> None:
             print(f"# autotune4096 {tag}: relerr={err:.1e}",
                   file=sys.stderr)
             if err < VERIFY_TOL:
+                fn(pr_lo, pr_lo)[0].block_until_ready()
+                fn(pr_hi, pr_hi)[0].block_until_ready()
                 good.append(tag)
         except Exception as exc:                       # noqa: BLE001
-            print(f"# autotune4096 {tag}: verify FAIL {str(exc)[:100]}",
-                  file=sys.stderr)
+            print(f"# autotune4096 {tag}: verify/compile FAIL "
+                  f"{str(exc)[:100]}", file=sys.stderr)
     if len(good) < 2 or good[0] != "pallas4":
         return
 
@@ -723,7 +740,6 @@ def _autotune_4096(batch: int = 4096) -> None:
         the_planner.wisdom[key] = {
             "desc": descs[tag], "patience": 99, "cost": 0.0}
 
-    b_lo, b_hi = 1024, 3072
     configs = []
     for tag in good:
         for b in (b_lo, b_hi):
@@ -805,7 +821,11 @@ def _bench_f64_1024_inner():
     import fftw3_tpu as ftpu
     from fftw3_tpu.planner import the_planner
 
-    n, batch = 1024, 512
+    # batch 8192: at 512 the df32p call is ~50-150 us of device time —
+    # under the >~1 ms-per-iteration timing guidance — and the published
+    # number flapped 176->576 GFLOPS between driver runs.  16x the work
+    # puts the chain iteration at ~0.8-1.5 ms.
+    n, batch = 1024, 8192
     rng = np.random.default_rng(0)
 
     def inject():
@@ -904,7 +924,7 @@ def main():
     if suite:
         # ordered by BASELINE priority: the f64 tier (df32p's first
         # on-chip outing) and n=4096 first, in case the budget runs out
-        for name, fn in [("c2c_1d_1024_f64_b512", _bench_f64_1024),
+        for name, fn in [("c2c_1d_1024_f64_b8192", _bench_f64_1024),
                          ("c2c_1d_4096_b4096", _bench_4096),
                          ("r2c_2d_2048", lambda: bench_r2c_2d(2048)),
                          ("c2c_3d_256", lambda: bench_c2c_3d(256)),

@@ -51,7 +51,7 @@ put("r2c", 2048, "float32", (6, 7),
 # f64 tier: the fused double-float Pallas kernel (df32p) beat the XLA
 # df32 pipeline in every measured block (176 vs 150.6; 575.8 vs 137.2;
 # 201.9 vs 135.1) at 6.1e-15 — 50-135x the emulated-f64 4.2 GFLOPS
-put("c2c", 1024, "float64", range(3, 7),
+put("c2c", 1024, "float64", range(3, 8),
     {"alg": "df32p", "n": 1024, "radices": [64, 16]}, 2.6e-07)
 
 # n=1000: the planner's static [50,20] kept winning its autotune
