@@ -1442,7 +1442,7 @@ def build_pallas_r2c(desc: Dict, rdtype):
                           gsplit=desc.get("gsplit"),
                           merge=desc.get("merge", False))
 
-    def apply(x):
+    def _fwd_only(x):
         shp = x.shape[:-1]
         B = int(np.prod(shp)) if shp else 1
         x2 = x.reshape(B, n)
@@ -1453,6 +1453,39 @@ def build_pallas_r2c(desc: Dict, rdtype):
         out = yr[:B] + 1j * yi[:B]
         return out.reshape(*shp, m + 1)
 
+    # VJP (the kernel itself is not differentiable; the c2c builders all
+    # carry custom VJPs, and the real kernels must too or jax.grad
+    # through an r2c plan dies ON CHIP while passing in interpret mode).
+    # y[k] = sum_j x[j] e^{-2pi i jk/n} for k <= m; under JAX's
+    # complex-cotangent convention (cotangents of complex outputs arrive
+    # pre-conjugated — verified numerically against jnp.fft.rfft's vjp)
+    # the adjoint is
+    #   xbar[j] = Re( DFT_n(zero-padded g) )[j]
+    # — one forward c2c n-point kernel on the padded cotangent.
+    adj = [None]
+
+    @jax.custom_vjp
+    def apply(x):
+        return _fwd_only(x)
+
+    def fwd(x):
+        return apply(x), None
+
+    def bwd(_, g):
+        if adj[0] is None:
+            # planner-grade c2c child: n may exceed the single-kernel
+            # window (r2c of 4096 needs a c2c-4096 adjoint -> pallas4)
+            from ..planner import the_planner
+            from . import c2c as c2c_ops
+            adj[0] = c2c_ops.build_c2c_split(
+                the_planner.plan_c2c(n, rdtype, 0), -1, rdtype)
+        gr = jnp.real(g)
+        gi = jnp.imag(g)
+        pad = [(0, 0)] * (g.ndim - 1) + [(0, n - (m + 1))]
+        xr, _ = adj[0](jnp.pad(gr, pad), jnp.pad(gi, pad))
+        return (xr,)
+
+    apply.defvjp(fwd, bwd)
     return apply
 
 
@@ -1575,7 +1608,7 @@ def build_pallas_c2r(desc: Dict, rdtype):
                           gsplit=desc.get("gsplit"),
                           merge=desc.get("merge", False))
 
-    def apply(X):
+    def _fwd_only(X):
         xr = jnp.real(X)
         xi = jnp.imag(X)
         shp = xr.shape[:-1]
@@ -1589,6 +1622,42 @@ def build_pallas_c2r(desc: Dict, rdtype):
         y = call(xr2, xi2)
         return y[:B].reshape(*shp, n)
 
+    # VJP.  The kernel computes (identity block comment above)
+    #   y[j] = Xr[0] + (-1)^j Xr[m]
+    #          + sum_{k=1}^{m-1} 2 (Xr[k] cos t - Xi[k] sin t),
+    # t = 2pi jk/n — DC/Nyquist imag parts drop out.  The adjoint under
+    # JAX's complex-cotangent convention is a weighted forward r2c of the
+    # real cotangent: Xbar = w * conj(R(gbar)) with w = [1, 2,...,2, 1]
+    # and the DC/Nyquist imaginary parts zeroed (they are unused inputs).
+    # (conj: R(g)[k] = sum g cos - i sum g sin, while the gradient needs
+    # +i sum... — the correctness test pins the convention against
+    # interpret-mode autodiff of the kernel itself.)
+    adj = [None]
+    w_np = np.full((m + 1,), 2.0, np.float32)
+    w_np[0] = w_np[m] = 1.0
+
+    @jax.custom_vjp
+    def apply(X):
+        return _fwd_only(X)
+
+    def fwd(X):
+        return apply(X), None
+
+    def bwd(_, g):
+        if adj[0] is None:
+            from ..planner import the_planner
+            from . import real as real_ops
+            adj[0] = real_ops.build_r2c(
+                the_planner.plan_r2c(n, rdtype, 0), rdtype)
+        Y = adj[0](g) * w_np
+        # JAX cotangent for complex primals carries the conjugate
+        Y = jnp.conj(Y)
+        zero_im = jnp.real(Y).astype(Y.dtype)
+        edge = jnp.concatenate([zero_im[..., :1], Y[..., 1:m],
+                                zero_im[..., m:m + 1]], axis=-1)
+        return (edge,)
+
+    apply.defvjp(fwd, bwd)
     return apply
 
 
