@@ -563,6 +563,12 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
         arms.append(("vpuall", "all", rad0, "first", True, tb0))
     if len(arms) < 7:
         arms.append(("vpu", True, rad0, "first", True, tb0))
+    # gated-by-canary arm: 3-stage schedules miscompile on the round-2..5
+    # toolchains (choose_radices caps at 2); if the stage3 probe PASSes,
+    # race a deep schedule (fewer twiddle bytes per stage)
+    from fftw3_tpu import toolchain_probe
+    if toolchain_probe.passed("stage3") and n == 1024:
+        arms.append(("st3[16,8,8]", False, [16, 8, 8], "first", True, tb0))
     fns = {}
     for tag, flag, rad, k2, gs, tb in arms:
         try:
@@ -704,6 +710,22 @@ def _autotune_4096(batch: int = 4096) -> None:
         except Exception as exc:                       # noqa: BLE001
             print(f"# autotune4096 {tag}: build FAIL {str(exc)[:100]}",
                   file=sys.stderr)
+    # gated-by-canary arm: the n=4096 SINGLE kernel is dead on the
+    # round-4 toolchain for two measured reasons (tb>=128 blows scoped
+    # VMEM, tb<128 lane-merges illegally — experiments/bisect4096*.py).
+    # If the tb32 probe PASSes, sub-128 row tiles became legal and the
+    # single-kernel route (one HBM pass instead of pallas4's three)
+    # reopens at a VMEM-fitting tb=64.
+    from fftw3_tpu import toolchain_probe
+    if toolchain_probe.passed("tb32"):
+        d1 = {"alg": "pallas", "n": n, "radices": [64, 64], "tile_b": 64}
+        descs["single_tb64"] = d1
+        try:
+            fns["single_tb64"] = jax.jit(
+                ps.build_pallas_c2c_split(d1, -1, np.float32))
+        except Exception as exc:                       # noqa: BLE001
+            print(f"# autotune4096 single_tb64: build FAIL "
+                  f"{str(exc)[:100]}", file=sys.stderr)
 
     b_lo, b_hi = 1024, 3072
     rng = np.random.default_rng(11)
@@ -886,6 +908,27 @@ def _bench_f64_1024_inner():
     t, tag, plan, err = best
     if tag != "prod":
         print(f"# f64: selected {tag}", file=sys.stderr)
+    # drift-resistant secondary metric (round-5 verdict item 6): the
+    # winner's interleaved marginal slope, like the headline's — the
+    # chained f64 number spread 4.4x across sessions (176-576 GFLOPS)
+    # before the batch fix, and a single chained value cannot show drift
+    run_best = next((rn for tg, p, rn, e in good if tg == tag), None)
+    if run_best is not None and jax.default_backend() == "tpu":
+        try:
+            from fftw3_tpu.utils import timing
+            b_lo, b_hi = 4096, 12288
+            cfgs = []
+            for b in (b_lo, b_hi):
+                br = jnp.asarray(rng.standard_normal((b, n)), jnp.float64)
+                bi = jnp.asarray(rng.standard_normal((b, n)), jnp.float64)
+                cfgs.append((run_best, (br, bi)))
+            ts = timing.time_chained_multi(cfgs, k1=4, k2=16, reps=5)
+            slope = (ts[1] - ts[0]) / ((b_hi - b_lo) * n)
+            print(f"# f64_marginal_slope_ps_pt: {slope*1e12:.1f} ({tag})",
+                  file=sys.stderr)
+        except Exception as exc:                       # noqa: BLE001
+            print(f"# f64 slope measurement failed: {str(exc)[:100]}",
+                  file=sys.stderr)
     return flops / t, t, repr(plan), err
 
 
@@ -908,6 +951,17 @@ def main():
     # driver measures through a remote-TPU tunnel with ~0.3 ms floor);
     # 64 Mi points of work puts device time well above that floor.
     n, batch = 1024, (256 if quick else 65536)
+    if not quick:
+        # toolchain canaries FIRST: every dead-end gate was measured on
+        # one compiler version; the probes notice a fix (one PASS/FAIL
+        # stderr line each, recorded in the driver BENCH tail) and the
+        # autotunes below re-admit the gated arms on PASS.
+        try:
+            from fftw3_tpu import toolchain_probe
+            toolchain_probe.run_probes()
+        except Exception as exc:                       # noqa: BLE001
+            print(f"# toolchain probes failed: {str(exc)[:120]}",
+                  file=sys.stderr)
     if not quick:
         try:
             _autotune_headline(n, batch)

@@ -89,6 +89,7 @@ measure_hysteresis = None
 #: miscompile, not a math bug (all CPU tests pass with the pack on).
 #: bench.py races a verify-gated pack-on arm so the lane-alignment win
 #: returns automatically if a toolchain update fixes it.
+#: One-file repro / re-enable probe: experiments/repro_pack_2048.py.
 r2c_dc_nyquist_pack: bool = False
 
 #: SWAPPED rank-2 r2c composition (plan.py): r2c over axis -2 first (the

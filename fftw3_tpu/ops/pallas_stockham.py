@@ -290,6 +290,8 @@ K2_MAX_BYTES = 768 << 10
 #: compile fine, and previously-cached full-k2 executables still run.
 #: Wisdom/autotune can pin "all" per-plan via desc["k2"] (the cached
 #: headline kernel), so nothing regresses where the cache holds.
+#: One-file repro / re-enable probe: experiments/repro_k2_done1.py;
+#: bench.py runs it as a canary each driver run (toolchain_probe).
 K2_DEFAULT = "first"
 
 

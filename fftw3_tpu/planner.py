@@ -830,14 +830,46 @@ def _batch_bucket(batch: Optional[int]) -> str:
     return str(max(1, int(batch)).bit_length() // 2)
 
 
+_sig_cache: Optional[str] = None
+
+
 def _device_signature() -> str:
+    """Wisdom-key signature: backend + device kind + TOOLCHAIN versions.
+
+    FFTW hashes its build configuration into every wisdom entry so stale
+    wisdom can never be reused across builds (signature_of_configuration,
+    /root/reference/fftw/fftw_api.c:14829).  The TPU analog must stamp
+    the COMPILER, not just the chip: round 4 proved the same device can
+    change behavior under it (the k2 fresh-compile regression made cached
+    executables differ from fresh compiles; wisdom/v5e.json pins kernel
+    geometries measured on exactly one toolchain).  Components:
+
+    * jax / jaxlib versions (the Pallas/Mosaic lowering pipeline), and
+    * an 8-hex digest of the backend's ``platform_version`` (the runtime
+      + compiler build string, which moves when libtpu does).
+
+    A jaxlib or libtpu upgrade therefore silently RETIRES all old wisdom
+    (keys never match) instead of serving stale winners or descriptors
+    the new compiler rejects.  Cached per process: the backend cannot
+    change after initialization."""
+    global _sig_cache
+    if _sig_cache is not None:
+        return _sig_cache
     try:
         import jax
+        import jaxlib
         d = jax.devices()[0]
-        return f"{jax.default_backend()}-{getattr(d, 'device_kind', 'cpu')}" \
-            .replace(" ", "_")
+        sig = f"{jax.default_backend()}-{getattr(d, 'device_kind', 'cpu')}" \
+            f"-jax{jax.__version__}-jl{jaxlib.__version__}"
+        pv = getattr(getattr(d, "client", None), "platform_version", "")
+        if pv:
+            import hashlib
+            sig += "-pv" + hashlib.md5(pv.encode()).hexdigest()[:8]
+        sig = sig.replace(" ", "_")
     except Exception:
         return "host"
+    _sig_cache = sig
+    return sig
 
 
 # ---------------------------------------------------------------------------

@@ -14,16 +14,32 @@ bench.py still re-races arms at driver time and its injections override.
 import json
 import sys
 
-SIG = "tpu-TPU_v5_lite"
+
+def _live_sig():
+    """The signature wisdom keys must carry for the CURRENT runtime —
+    device kind + toolchain versions (round-5: the signature stamps
+    jax/jaxlib/platform_version so a compiler upgrade retires the file
+    instead of serving stale kernel geometries).  Must be generated ON
+    the target toolchain (run inside the axon container with the chip
+    reachable)."""
+    sys.path.insert(0, ".")
+    from fftw3_tpu.planner import _device_signature
+    sig = _device_signature()
+    if not sig.startswith("tpu-"):
+        raise SystemExit(
+            f"refusing to stamp non-TPU signature {sig!r}: system wisdom "
+            "must be generated on the target toolchain (chip attached)")
+    return sig
+
+
+SIG = None   # resolved in main() from the live runtime
 PM = 2     # PATIENT: honored at ESTIMATE/MEASURE/PATIENT requests
 
-ENTRIES = {}
+ROWS = []
 
 
 def put(kind, n, dtype, buckets, desc, cost):
-    for b in buckets:
-        ENTRIES[f"{kind}:{n}:{dtype}:{SIG}:b{b}"] = {
-            "desc": desc, "patience": PM, "cost": cost}
+    ROWS.append((kind, n, dtype, list(buckets), desc, cost))
 
 
 # headline kernel: presplit [32,32] won three driver sessions (34.7 /
@@ -61,11 +77,17 @@ put("c2c", 1000, "float32", range(4, 8),
 
 
 def main(path="wisdom/v5e.json"):
-    doc = {"format": "fftw3-tpu-wisdom-2", "signature": SIG,
-           "entries": ENTRIES}
+    sig = _live_sig()
+    entries = {}
+    for kind, n, dtype, buckets, desc, cost in ROWS:
+        for b in buckets:
+            entries[f"{kind}:{n}:{dtype}:{sig}:b{b}"] = {
+                "desc": desc, "patience": PM, "cost": cost}
+    doc = {"format": "fftw3-tpu-wisdom-2", "signature": sig,
+           "entries": entries}
     with open(path, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
-    print(f"wrote {len(ENTRIES)} entries to {path}")
+    print(f"wrote {len(entries)} entries to {path} (sig {sig})")
 
 
 if __name__ == "__main__":
