@@ -267,11 +267,27 @@ def bench_r2c_2d(n: int, batch: int = 8):
         arms.append(("k2force", flag0, np_max0, pack0,
                      {"k2": "force"}, {"k2": "force"}, False))
         # wider axis-1 inner blocks on top of k2force (lanes 256 at
-        # n=2048: 2 MB planes — VMEM-risky, compile/verify-gated)
+        # n=2048: 2 MB planes).  NOTE the budget must be 4x: at n=2048
+        # the tle-doubling guard is n*tle*2 <= area, so the round-4 2x
+        # arm left tle=128 and g=1 — geometrically IDENTICAL to k2force
+        # (false arm; its 615-vs-610 "win" was noise between equal
+        # kernels).  With the real 4x budget the (1, 2048, 256) block
+        # CRASHES the Mosaic compiler (HTTP 500, measured 2026-08-20,
+        # same VMEM class as bisect4096) — the arm stays as a compile-
+        # gated canary that re-admits itself the day the toolchain's
+        # scoped-VMEM handling moves.  The axis-1 inner pass is the r2c
+        # config's structural tax: its (1, 2048, 128) blocks read 512-
+        # byte strided DMA segments from 1025-lane rows, every widening
+        # is VMEM-dead, and the layout alternatives measured worse
+        # (moveaxis 2750 us, swapped 2:1, pack 451-462 + miscompute).
         arms.append(("k2fwide", flag0, np_max0, pack0,
                      {"k2": "force"},
-                     {"k2": "force", "inner_area": 2 * ps.INNER_AREA},
+                     {"k2": "force", "inner_area": 4 * ps.INNER_AREA},
                      False))
+        # measured 2026-08-20 and dropped: reversed inner schedule
+        # [32,64] for the axis-1 pass tied k2force (618 vs 620 GFLOPS,
+        # sequential protocol) — the inner radix order doesn't matter at
+        # n=2048; not worth a driver-run compile slot.
         # NOT raced: the swapped composition (r2c over axis -2 first +
         # last-axis c2c + Hermitian reconstruct, config.r2c_swapped) LOST
         # 2:1 on chip (288 vs 601 GFLOPS, 3 interleaved reps) — the
@@ -547,18 +563,37 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
     # optimum moved (measured: [32,32] 49.3 vs [64,16] 63.5 ps/pt in the
     # same block — the k2 cross pass K=4p exactly fills the MXU at p=32);
     # the earlier logic raced eligible alts only as vpuall, which loses.
+    # round-5 attribution (experiments/attrib1000.py + copy1000.py +
+    # rev1000.py): the non-pow2 tax lives in any stage whose radix has
+    # odd part >= 25 (n800 [32,25] 90.8 ps/pt == n1000 91.3 while
+    # [32,20]/[40,32] run 27.5-49.4; copy/transpose probes cleared lane
+    # alignment at <= 8 ps/pt; ALL 2-stage orders of 1000 sit at 84-101
+    # because 5^3 cannot split below odd-part-25 over two stages).
+    # Radix-order arms are a +-10% effect there — trim to one alt.
+    max_arms = 3 if n % 128 else 5
     alts = ps.alternative_radices(n, k=6)
     for alt in alts:
-        if alt == rad0 or len(alt) != 2 or len(arms) >= 5:
+        if alt == rad0 or len(alt) != 2 or len(arms) >= max_arms:
             continue
         arms.append((f"ps{alt}", False, alt, "first", True, tb0))
     # wide-row-tile arm (round 4): pallas4's outer kernel won 15-19% from
     # tile widening; re-try tb=256 here under presplit (the round-2
     # tb=256 loss predates the hoisted G casts).  128-multiples keep the
-    # stage lane-merge reshape legal.
-    best_alt = alts[1] if len(alts) > 1 and len(alts[1]) == 2 else rad0
-    arms.append((f"ps{best_alt}tb256", False, best_alt, "first", True,
-                 256))
+    # stage lane-merge reshape legal.  Pointless at unaligned n (the
+    # lane tax dwarfs it) — aligned configs only.
+    if n % 128 == 0:
+        best_alt = alts[1] if len(alts) > 1 and len(alts[1]) == 2 else rad0
+        arms.append((f"ps{best_alt}tb256", False, best_alt, "first", True,
+                     256))
+    if n == 1024:
+        # asymmetric-split insurance (round 5): [8,128] won ONE
+        # interleaved block at 25.5 ps/pt vs [32,32]'s 43.7 (rev1024),
+        # then LOST the rigorous re-race (slope 51.1 vs 38.2, chained
+        # 49.8 vs 39.5 — experiments/asym1024.py).  Two same-session
+        # blocks disagreeing 2x means keep it in the driver race (the
+        # race picks the winner, so the arm cannot regress the number)
+        # until one form wins three sessions straight.
+        arms.append(("ps[8,128]", False, [8, 128], "first", True, tb0))
     if _all_ok(rad0) and len(arms) < 7:
         arms.append(("vpuall", "all", rad0, "first", True, tb0))
     if len(arms) < 7:
@@ -569,6 +604,12 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
     from fftw3_tpu import toolchain_probe
     if toolchain_probe.passed("stage3") and n == 1024:
         arms.append(("st3[16,8,8]", False, [16, 8, 8], "first", True, tb0))
+    if toolchain_probe.passed("stage3") and n == 1000:
+        # the round-5 attribution's escape hatch: [10,10,10] splits 5^3
+        # into three odd-part-5 stages (every 2-stage schedule of 1000
+        # carries an odd-part>=25 stage, the measured 2.6x tax)
+        arms.append(("st3[10,10,10]", False, [10, 10, 10], "first", True,
+                     tb0))
     fns = {}
     for tag, flag, rad, k2, gs, tb in arms:
         try:

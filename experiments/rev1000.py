@@ -1,73 +1,23 @@
 """A/B: reversed two-stage radix orders at n=1000 (non-pow2 config).
 
 `alternative_radices` only emits p >= q pairs, but the two stages have
-ASYMMETRIC matmul shapes under the stacked-G kernel (s1 != s2), and the
-presplit round-4 win moved the n=1024 optimum from [64,16] to [32,32] —
-evidence the static ranking misorders under presplit.  The q > p half
-of the space has never been raced on chip.  n=1000's slope is 94.3
-ps/pt (vs 34.7 at n=1024): the radix tax is the dominant cost, so order
-may matter.  Interleaved marginal slopes, verified arms only.
+ASYMMETRIC matmul shapes under the stacked-G kernel, and the presplit
+round-4 win moved the n=1024 optimum from [64,16] to [32,32] — evidence
+the static ranking misorders under presplit.  The q > p half of the
+space has never been raced on chip.  n=1000's slope is 94.3 ps/pt (vs
+34.7 at n=1024): the radix tax is the dominant cost, so order may
+matter.  Interleaved marginal slopes, verified arms only (shared body:
+experiments/_race.py radix_slope_race; the tax attribution lives in
+experiments/attrib1000.py).
 
-Run ON CHIP: PYTHONPATH=/root/repo:/root/.axon_site python experiments/rev1000.py
+Run ON CHIP: python experiments/rev1000.py
 """
 import sys
 
-import numpy as np
-import jax
-import jax.numpy as jnp
+sys.path.insert(0, "/root/repo")
 
-from fftw3_tpu.ops import pallas_stockham as ps
-from fftw3_tpu.utils import timing
-
-N = 1000
-ARMS = [[50, 20], [20, 50], [40, 25], [25, 40], [8, 125]]
-
-
-def main():
-    print(f"# backend={jax.default_backend()}", file=sys.stderr)
-    rng = np.random.default_rng(3)
-    vr = rng.standard_normal((256, N)).astype(np.float32)
-    vi = rng.standard_normal((256, N)).astype(np.float32)
-    ref = np.fft.fft((vr + 1j * vi).astype(np.complex128), axis=1)
-
-    b_lo, b_hi = 8192, 24576
-    pr_lo = jnp.zeros((b_lo, N), jnp.float32)
-    pr_hi = jnp.zeros((b_hi, N), jnp.float32)
-    good = []
-    for rad in ARMS:
-        tag = str(rad)
-        try:
-            fn = jax.jit(ps.build_pallas_c2c_split(
-                {"alg": "pallas", "n": N, "radices": rad,
-                 "tile_b": 128, "k2": "first", "gsplit": True},
-                -1, np.float32))
-            yr, yi = fn(vr, vi)
-            err = float(np.max(np.abs(
-                (np.asarray(yr) + 1j * np.asarray(yi)) - ref))
-                / np.max(np.abs(ref)))
-            print(f"# {tag}: relerr={err:.1e}", file=sys.stderr)
-            if err < 1e-4:
-                fn(pr_lo, pr_lo)[0].block_until_ready()
-                fn(pr_hi, pr_hi)[0].block_until_ready()
-                good.append((tag, fn))
-        except Exception as exc:                       # noqa: BLE001
-            print(f"# {tag}: FAIL {str(exc)[:140]}", file=sys.stderr)
-
-    if len(good) < 2:
-        print("# fewer than 2 arms; no race", file=sys.stderr)
-        return
-    configs = []
-    rng2 = np.random.default_rng(4)
-    for tag, fn in good:
-        for b in (b_lo, b_hi):
-            xr = jnp.asarray(rng2.standard_normal((b, N)), jnp.float32)
-            xi = jnp.asarray(rng2.standard_normal((b, N)), jnp.float32)
-            configs.append((fn, (xr, xi)))
-    ts = timing.time_chained_multi(configs, k1=4, k2=16, reps=7)
-    for i, (tag, _) in enumerate(good):
-        s = (ts[2 * i + 1] - ts[2 * i]) / ((b_hi - b_lo) * N)
-        print(f"{tag}: {s*1e12:.1f} ps/pt")
-
+from _race import radix_slope_race
 
 if __name__ == "__main__":
-    main()
+    radix_slope_race(1000, [[50, 20], [20, 50], [40, 25], [25, 40],
+                            [8, 125]])

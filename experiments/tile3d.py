@@ -1,16 +1,23 @@
-"""A/B: outer row-tile widening for the n=256 axis kernels in the 3-D plan.
+"""A/B: block widening for the two kernels the 256^3 plan actually runs.
 
-Round-4 lesson (bisect4096): widening desc["tile_b"] pays exactly where the
-per-grid-step blocks are tiny — pallas4's q=128 outer (64 KB blocks) gained
-15-19% at tb=512, while n=1024 (512 KB blocks) LOST.  The 256^3 config runs
-THREE single-stage [256] passes whose (128, 256) f32 blocks are 128 KB each,
-i.e. squarely in the tiny-block regime.  This races tb 128/512/1024 on the
-full 3-D plan with interleaved chained timing (decision-grade per
-CLAUDE.md's measurement discipline).
+Plan structure at 256^3 (plan.py multi-axis dispatch): axes 1-2 are fused
+into ONE 2-D Pallas pass (`build_pallas_c2c_split_2d`, blocks
+(tile_b, 256, 256) — 256 KB per plane) and axis 0 runs as the axis-(-2)
+inner kernel (`build_pallas_c2c_split_inner`, blocks (1, 256, tle) with
+tle widened to INNER_AREA/n = 512 lanes, 512 KB).  Both passes are in the
+small-block regime where pallas4's tile_b widening paid 15-19%
+(bisect4096); the knobs here are desc["tile_b"] (leading ROWS per fused-2D
+block, n1=256 rows per plane -> tile_b//256 planes, plumbed round 5 — the round-4 run of this script raced identical
+kernels, ADVICE r4) and desc["inner_area"] (axis-0 working-set budget).
+
+Each non-prod arm asserts its lowered HLO differs from prod before the
+race (the ADVICE r4 false-wash guard).  Interleaved chained timing.
 
 Run ON CHIP: python experiments/tile3d.py
 """
 import sys
+
+sys.path.insert(0, "/root/repo")
 
 import numpy as np
 import jax
@@ -18,17 +25,18 @@ import jax.numpy as jnp
 
 import fftw3_tpu as ftpu
 from fftw3_tpu.planner import the_planner
+from fftw3_tpu.ops import pallas_stockham as ps
 from fftw3_tpu.utils import timing
 
 N = 256
 
 
-def inject(tb):
+def inject(extra):
     for b in (N * N, N):
+        desc = {"alg": "pallas", "n": N, "radices": [N]}
+        desc.update(extra)
         the_planner.wisdom[the_planner._key("c2c", N, np.float32, b)] = {
-            "desc": {"alg": "pallas", "n": N, "radices": [N],
-                     "tile_b": tb},
-            "patience": 99, "cost": 0.0}
+            "desc": desc, "patience": 99, "cost": 0.0}
 
 
 def main():
@@ -39,24 +47,38 @@ def main():
     ref = np.fft.fftn((np.asarray(xr) + 1j * np.asarray(xi))
                       .astype(np.complex128))
 
-    arms = []
-    for tb in (128, 512, 1024):
+    ARMS = [
+        ("prod", None),
+        ("g2", {"tile_b": 512}),
+        ("g4", {"tile_b": 1024}),
+        ("ia2", {"inner_area": 2 * ps.INNER_AREA}),
+        ("g4ia2", {"tile_b": 1024, "inner_area": 2 * ps.INNER_AREA}),
+    ]
+    arms, prod_hlo = [], None
+    for tag, extra in ARMS:
         ftpu.forget_wisdom()
-        if tb != 128:
-            inject(tb)
+        if extra is not None:
+            inject(extra)
         try:
             plan = ftpu.plan_dft((N, N, N), dtype="complex64")
             run = jax.jit(plan.apply_split)
+            hlo = run.lower(xr, xi).as_text()
+            if tag == "prod":
+                prod_hlo = hlo
+            elif hlo == prod_hlo:
+                print(f"# {tag}: IDENTICAL lowering to prod — knob did "
+                      "not reach the kernel, arm dropped", file=sys.stderr)
+                continue
             yr, yi = run(xr, xi)
             err = float(np.max(np.abs(
                 (np.asarray(yr) + 1j * np.asarray(yi)) - ref))
                 / np.max(np.abs(ref)))
-            print(f"# tb{tb}: plan={plan!r} relerr={err:.1e}",
+            print(f"# {tag}: plan={plan!r} relerr={err:.1e}",
                   file=sys.stderr)
             if err < 1e-4:
-                arms.append((f"tb{tb}", run))
+                arms.append((tag, run))
         except Exception as exc:                       # noqa: BLE001
-            print(f"# tb{tb}: FAIL {str(exc)[:140]}", file=sys.stderr)
+            print(f"# {tag}: FAIL {str(exc)[:140]}", file=sys.stderr)
         finally:
             ftpu.forget_wisdom()
 

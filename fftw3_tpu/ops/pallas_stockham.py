@@ -894,29 +894,51 @@ INNER_TILE_L = 128
 MAX_2D_POINTS = 300_000
 
 
-def _kernel_2d(rad1, rad2, n1, n2, tw1, tw2, sign, k2mode, presplit,
+def _kernel_2d(rad1, rad2, n1, n2, g, tw1, tw2, sign, k2mode, presplit,
                *refs):
-    """Fused 2-D form: block (1, n1, n2); FFT over BOTH trailing axes in
-    one pass.  x -> T -> stages(n2) over sublanes [n1 lanes] -> T ->
-    stages(n1) [n2 lanes] -> out; the 2-D transposes live in VMEM (free).
+    """Fused 2-D form: block (g, n1, n2); FFT over BOTH trailing axes in
+    one pass.  x -> T -> stages(n2) over sublanes [g*n1 lanes] -> T ->
+    stages(n1) [g*n2 lanes] -> out; the 2-D transposes live in VMEM
+    (free).  g > 1 lane-concatenates g planes so per-grid-step overhead
+    amortizes and the stage matmuls widen (the pallas4 tile_b lesson —
+    legal because n1, n2 are 128-multiples, see applicable_2d).
     Constant refs: stage consts for n2, then for n1."""
     xr_ref, xi_ref = refs[0], refs[1]
     yr_ref, yi_ref = refs[-2], refs[-1]
     ncr2 = _n_consts(rad2, presplit)
     crefs2 = refs[2:2 + ncr2]
     crefs1 = refs[2 + ncr2:-2]
-    ar = jnp.transpose(xr_ref[0])          # (n2, n1)
-    ai = jnp.transpose(xi_ref[0])
-    ar, ai = _stages(rad2, n2, n1, crefs2, ar, ai,   # FFT along n2
+    if g == 1:
+        ar = jnp.transpose(xr_ref[0])      # (n2, n1)
+        ai = jnp.transpose(xi_ref[0])
+    else:
+        ar = jnp.concatenate(
+            [jnp.transpose(xr_ref[k]) for k in range(g)], axis=1)
+        ai = jnp.concatenate(
+            [jnp.transpose(xi_ref[k]) for k in range(g)], axis=1)
+    ar, ai = _stages(rad2, n2, g * n1, crefs2, ar, ai,   # FFT along n2
                      tw_lanes=tw2, sign=sign, k2mode=k2mode,
                      presplit=presplit)
-    ar = jnp.transpose(ar)                 # (n1, K2)
-    ai = jnp.transpose(ai)
-    ar, ai = _stages(rad1, n1, n2, crefs1, ar, ai,   # FFT along n1
+    if g == 1:
+        ar = jnp.transpose(ar)             # (n1, K2)
+        ai = jnp.transpose(ai)
+    else:
+        ar = jnp.concatenate(
+            [jnp.transpose(ar[:, k * n1:(k + 1) * n1]) for k in range(g)],
+            axis=1)
+        ai = jnp.concatenate(
+            [jnp.transpose(ai[:, k * n1:(k + 1) * n1]) for k in range(g)],
+            axis=1)
+    ar, ai = _stages(rad1, n1, g * n2, crefs1, ar, ai,   # FFT along n1
                      tw_lanes=tw1, sign=sign, k2mode=k2mode,
                      presplit=presplit)
-    yr_ref[0] = ar
-    yi_ref[0] = ai
+    if g == 1:
+        yr_ref[0] = ar
+        yi_ref[0] = ai
+    else:
+        for k in range(g):
+            yr_ref[k] = ar[:, k * n2:(k + 1) * n2]
+            yi_ref[k] = ai[:, k * n2:(k + 1) * n2]
 
 
 def _n_consts(radices, presplit: bool = False) -> int:
@@ -928,45 +950,56 @@ def _n_consts(radices, presplit: bool = False) -> int:
 
 
 def _make_call_2d(n1: int, n2: int, rad1, rad2, sign: int, interpret: bool,
-                  vpu=None, k2mode=K2_DEFAULT, gsplit=None):
+                  vpu=None, k2mode=K2_DEFAULT, gsplit=None, tile_g=1):
+    """``tile_g`` groups that many leading planes per block (desc-carried
+    "tile_b" on 2-D-fused descs); clamped to the MAX_2D_POINTS VMEM
+    budget and to a divisor of the batch at call time."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    tw2 = _flat_tw_lanes(n2, rad2, n1)
-    tw1 = _flat_tw_lanes(n1, rad1, n2)
     presplit = _use_presplit() if gsplit is None else bool(gsplit)
-    c2 = [c for st in _stage_consts(n2, rad2, sign, tw2,
-                                    presplit=presplit) for c in st]
-    c1 = [c for st in _stage_consts(n1, rad1, sign, tw1,
-                                    presplit=presplit) for c in st]
-    flat_consts = c2 + c1
     if vpu is None:
         vpu = config.pallas_vpu_last       # build-time snapshot
-    kernel = partial(_kernel_2d, tuple(rad1), tuple(rad2), n1, n2, tw1, tw2,
-                     _vpu_sign(sign, vpu), k2mode, presplit)
+    vsign = _vpu_sign(sign, vpu)
+    tile_g0 = max(1, int(tile_g))
 
-    data_spec = pl.BlockSpec((1, n1, n2), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-    const_specs = [pl.BlockSpec(c.shape, lambda i: (0, 0),
-                                memory_space=pltpu.VMEM)
-                   for c in flat_consts]
-    flops_per_block = int(6 * (n2 * sum(rad2) * n1 + n1 * sum(rad1) * n2))
-
-    def run(xr, xi):
-        pre = xr.shape[0]
+    def make_fn(pre):
+        g = tile_g0
+        while g > 1 and (pre % g or g * n1 * n2 > MAX_2D_POINTS):
+            g //= 2
+        tw2 = _flat_tw_lanes(n2, rad2, g * n1)
+        tw1 = _flat_tw_lanes(n1, rad1, g * n2)
+        c2 = [c for st in _stage_consts(n2, rad2, sign, tw2,
+                                        presplit=presplit) for c in st]
+        c1 = [c for st in _stage_consts(n1, rad1, sign, tw1,
+                                        presplit=presplit) for c in st]
+        flat_consts = c2 + c1
+        kernel = partial(_kernel_2d, tuple(rad1), tuple(rad2), n1, n2, g,
+                         tw1, tw2, vsign, k2mode, presplit)
+        data_spec = pl.BlockSpec((g, n1, n2), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        const_specs = [pl.BlockSpec(c.shape, lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+                       for c in flat_consts]
+        flops_per_block = int(6 * g * (n2 * sum(rad2) * n1
+                                       + n1 * sum(rad1) * n2))
         out_shape = [jax.ShapeDtypeStruct((pre, n1, n2), jnp.float32)] * 2
-        fn = pl.pallas_call(
+        return (pl.pallas_call(
             kernel,
-            grid=(pre,),
+            grid=(pre // g,),
             in_specs=[data_spec, data_spec] + const_specs,
             out_specs=[data_spec, data_spec],
             out_shape=out_shape,
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
-                flops=flops_per_block * pre,
+                flops=flops_per_block * (pre // g),
                 bytes_accessed=int(4 * pre * n1 * n2 * 4),
                 transcendentals=0),
-        )
+        ), flat_consts)
+
+    def run(xr, xi):
+        pre = xr.shape[0]
+        fn, flat_consts = make_fn(pre)
         with _x64_off():
             return fn(xr, xi, *flat_consts)
 
@@ -1012,8 +1045,15 @@ def build_pallas_c2c_split_2d(n1: int, n2: int, sign: int, rdtype,
         vpu = config.pallas_vpu_last
     k2mode = desc1.get("k2", desc2.get("k2", K2_DEFAULT))
     gsplit = desc1.get("gsplit", desc2.get("gsplit"))
+    # "tile_b" counts leading ROWS everywhere; one (n1, n2) plane is n1
+    # rows, so the fused form groups tile_b//n1 planes per block — the
+    # pallas4 tile_b lesson applied to the 3-D plan's trailing-axes pass
+    # (ADVICE r4: this knob must actually reach the kernel).  The legacy
+    # row-tile value 128 maps to g=1, i.e. the historical geometry.
+    tile_g = max(1, (desc1.get("tile_b", desc2.get("tile_b")) or 128)
+                 // n1)
     call = _make_call_2d(n1, n2, rad1, rad2, sign, interpret, vpu=vpu,
-                         k2mode=k2mode, gsplit=gsplit)
+                         k2mode=k2mode, gsplit=gsplit, tile_g=tile_g)
     adj_call = [None]
 
     def _run(xr, xi, c):
@@ -1033,7 +1073,7 @@ def build_pallas_c2c_split_2d(n1: int, n2: int, sign: int, rdtype,
         if adj_call[0] is None:
             adj_call[0] = _make_call_2d(n1, n2, rad1, rad2, -sign, interpret,
                                         k2mode=k2mode, gsplit=gsplit,
-                                        vpu=vpu)
+                                        vpu=vpu, tile_g=tile_g)
         return _run(g[0], g[1], adj_call[0])
 
     apply.defvjp(fwd, bwd)
@@ -1109,6 +1149,12 @@ def build_pallas_c2c_split(desc: Dict, sign: int, rdtype):
     radices = desc.get("radices") or choose_radices(n)
     assert math.prod(radices) == n, (radices, n)
     tb = desc.get("tile_b") or tile_for(n)
+    if tb < 128:
+        # a sub-128 row tile is structurally illegal here (the stage view
+        # lane-merges with TB; bisect4096 postmortem) — such values are
+        # the 2-D-fused builder's plane-group reading of the same key, so
+        # ignore rather than crash when a shared desc lands on this form
+        tb = tile_for(n)
     mode = config.pallas_mode
     if mode == "auto":
         interpret = jax.default_backend() != "tpu"
