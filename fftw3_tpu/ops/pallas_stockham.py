@@ -1148,13 +1148,13 @@ def build_pallas_c2c_split(desc: Dict, sign: int, rdtype):
     n = desc["n"]
     radices = desc.get("radices") or choose_radices(n)
     assert math.prod(radices) == n, (radices, n)
+    # tb honored verbatim, including sub-128 values: they crash Mosaic on
+    # toolchains with the lane-merge restriction (bisect4096), and that
+    # crash must stay VISIBLE — the tb32 canary probe and the n=4096
+    # single-kernel autotune arms build exactly these descs to detect a
+    # toolchain fix (an early round-5 guard silently rewrote tb<128 to
+    # tile_for(n) here and turned the probe into a false PASS)
     tb = desc.get("tile_b") or tile_for(n)
-    if tb < 128:
-        # a sub-128 row tile is structurally illegal here (the stage view
-        # lane-merges with TB; bisect4096 postmortem) — such values are
-        # the 2-D-fused builder's plane-group reading of the same key, so
-        # ignore rather than crash when a shared desc lands on this form
-        tb = tile_for(n)
     mode = config.pallas_mode
     if mode == "auto":
         interpret = jax.default_backend() != "tpu"

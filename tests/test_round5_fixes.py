@@ -144,10 +144,13 @@ def test_fused_2d_tile_b_gradients():
     assert np.allclose(np.asarray(g1), np.asarray(g2), atol=1e-2)
 
 
-def test_standalone_builder_ignores_plane_group_tile_b():
-    """A desc whose tile_b is somehow below 128 must not crash the
-    standalone 1-D builder — sub-128 row tiles are structurally illegal
-    there (bisect4096), so the builder falls back to tile_for(n)."""
+def test_standalone_builder_honors_sub128_tile_b():
+    """Sub-128 tile_b must reach the kernel VERBATIM: the tb32 canary
+    probe and the n=4096 single-kernel autotune arms build such descs to
+    detect the toolchain's lane-merge fix, so a silent clamp here turns
+    the probe into a false PASS (happened once, round 5).  In interpret
+    mode (CPU tests) the kernel is legal at any tile and must be
+    CORRECT; on restricted toolchains the build fails loudly instead."""
     from fftw3_tpu.ops import pallas_stockham as ps
 
     rng = np.random.default_rng(9)
@@ -161,3 +164,11 @@ def test_standalone_builder_ignores_plane_group_tile_b():
     err = (np.max(np.abs((np.asarray(yr) + 1j * np.asarray(yi)) - ref))
            / np.max(np.abs(ref)))
     assert err < 1e-4, err
+    # and the block geometry really is sub-128: grid covers 8/4 = 2 steps
+    import jax
+    hlo4 = jax.jit(ap).lower(xr, xi).as_text()
+    ap128 = ps.build_pallas_c2c_split(
+        {"alg": "pallas", "n": 256, "radices": [16, 16], "tile_b": 128},
+        -1, np.float32)
+    hlo128 = jax.jit(ap128).lower(xr, xi).as_text()
+    assert hlo4 != hlo128
