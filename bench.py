@@ -732,6 +732,10 @@ def _autotune_4096(batch: int = 4096) -> None:
     n = 4096
     p4, q4 = ps.choose_fourstep(n)
     descs = {"pallas4": {"alg": "pallas4", "n": n, "p": p4, "q": q4}}
+    # tb ladder is monotone-in-noise up to 2048 (round-5: 89.7/84.9/82.3
+    # ps/pt).  tb=4096 measured DEAD at the driver batch (2026-08-20):
+    # verifies at B=256, then the B=4096 compile HTTP-500s (VMEM class,
+    # 2 MB outer blocks) — the ladder ends at 2048.
     for tb in (512, 1024, 2048):
         descs[f"pallas4tb{tb}"] = {"alg": "pallas4", "n": n, "p": p4,
                                    "q": q4, "tile_b": tb}

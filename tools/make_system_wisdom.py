@@ -1,4 +1,4 @@
-"""Regenerate wisdom/v5e.json from the round-4 ON-CHIP measured winners.
+"""Regenerate wisdom/v5e.json from the round-4/5 ON-CHIP measured winners.
 
 FFTW ships system wisdom (/etc/fftw/wisdom, fftw-wisdom -o); this is the
 TPU-v5e analog: the descriptors that won same-session interleaved races
@@ -48,11 +48,12 @@ put("c2c", 1024, "float32", range(3, 9),
     {"alg": "pallas", "n": 1024, "radices": [32, 32], "tile_b": 128,
      "k2": "first", "gsplit": True}, 4.5e-08)
 
-# n=4096 four-step with the widened outer row tile (tb512 79.6/91.5
-# ps/pt vs prod-128's 105.8/118.2; tb1024 won one session — autotune
-# still races both at driver time)
+# n=4096 four-step with the widened outer row tile: the tb ladder is
+# monotone-in-noise up to 2048 (round-5 blocks: tb512 89.7 / tb1024
+# 84.9 / tb2048 82.3 ps/pt; race4096 chained: 796 GFLOPS at tb2048) —
+# autotune still races 512/1024/2048/4096 at driver time
 put("c2c", 4096, "float32", range(4, 8),
-    {"alg": "pallas4", "n": 4096, "p": 32, "q": 128, "tile_b": 512},
+    {"alg": "pallas4", "n": 4096, "p": 32, "q": 128, "tile_b": 2048},
     3.5e-07)
 
 # n=2048 with the forced fused cross pass (the k2force r2c arm won two
@@ -70,10 +71,13 @@ put("r2c", 2048, "float32", (6, 7),
 put("c2c", 1024, "float64", range(3, 8),
     {"alg": "df32p", "n": 1024, "radices": [64, 16]}, 2.6e-07)
 
-# n=1000: the planner's static [50,20] kept winning its autotune
-# (94.3 ps/pt vs [40,25] 116 / [100,10] 122 / [125,8] 108)
+# n=1000: [40,25] won the round-5 all-orders race (83.6 ps/pt vs
+# [50,20] 91.9, rev1000.py interleaved) and the round-5 driver-style
+# autotune (97.2 vs 98.9); order is a +-10% effect — the tax itself is
+# the odd-part->=25 stage (BASELINE.md round-5 attribution)
 put("c2c", 1000, "float32", range(4, 8),
-    {"alg": "pallas", "n": 1000, "radices": [50, 20]}, 9.5e-08)
+    {"alg": "pallas", "n": 1000, "radices": [40, 25], "tile_b": 128,
+     "k2": "first", "gsplit": True}, 9.5e-08)
 
 
 def main(path="wisdom/v5e.json"):
