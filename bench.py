@@ -276,9 +276,10 @@ def bench_r2c_2d(n: int, batch: int = 8):
         # same VMEM class as bisect4096) — the arm stays as a compile-
         # gated canary that re-admits itself the day the toolchain's
         # scoped-VMEM handling moves.  The axis-1 inner pass is the r2c
-        # config's structural tax: its (1, 2048, 128) blocks read 512-
-        # byte strided DMA segments from 1025-lane rows, every widening
-        # is VMEM-dead, and the layout alternatives measured worse
+        # config's structural tax; its excess is IN-STAGE, not DMA
+        # (copy_inner.py: the strided/masked inner-layout copies measure
+        # at or below the contiguous floor), every widening is
+        # VMEM-dead, and the layout alternatives measured worse
         # (moveaxis 2750 us, swapped 2:1, pack 451-462 + miscompute).
         arms.append(("k2fwide", flag0, np_max0, pack0,
                      {"k2": "force"},
