@@ -690,13 +690,47 @@ def _autotune_headline(n: int = 1024, batch: int = 65536) -> None:
         slopes[tag] = s
         print(f"# autotune {tag}: {s*1e12:.1f} ps/pt", file=sys.stderr)
     best_tag, best_slope = min(slopes.items(), key=lambda kv: kv[1])
-    # drift-resistant secondary metric (round-3 verdict): the winner's
-    # interleaved marginal slope, named so the BENCH tail carries a
-    # number the session-to-session chained drift cannot pollute
-    print(f"# headline_marginal_slope_ps_pt n={n}: {best_slope*1e12:.1f} "
-          f"({best_tag})", file=sys.stderr)
+
+    def _metric_line(slope, tag):
+        # drift-resistant secondary metric (round-3 verdict): the
+        # CONFIRMED winner's interleaved marginal slope, named so the
+        # BENCH tail carries a number the session-to-session chained
+        # drift cannot pollute (printed after the confirm block so a
+        # single-block flier can never become the recorded slope)
+        print(f"# headline_marginal_slope_ps_pt n={n}: {slope*1e12:.1f} "
+              f"({tag})", file=sys.stderr)
+
     if best_tag == "prod":
+        _metric_line(best_slope, "prod")
         print("# autotune: keeping prod defaults", file=sys.stderr)
+        return
+    # CONFIRMATION block (round 5): four IDENTICAL arms spread 39-58
+    # ps/pt within one 7-rep block (experiments/position_bias.py), so a
+    # single block can crown a noise-flier — [8,128] once read 25.5 vs
+    # the control's 43.7 and lost the re-race 2x.  A non-prod winner
+    # must beat prod AGAIN in a fresh two-arm block before its desc is
+    # pinned into wisdom; ties/losses keep prod (a pinned flier would
+    # poison every later plan at this batch bucket).
+    try:
+        c2 = [(fns[t], (jnp.asarray(rng.standard_normal((b, n)),
+                                    jnp.float32),
+                        jnp.asarray(rng.standard_normal((b, n)),
+                                    jnp.float32)))
+              for t in ("prod", best_tag) for b in (b_lo, b_hi)]
+        t2 = timing.time_chained_multi(c2, k1=4, k2=16, reps=7)
+        s_prod = (t2[1] - t2[0]) / ((b_hi - b_lo) * n)
+        s_best = (t2[3] - t2[2]) / ((b_hi - b_lo) * n)
+        print(f"# autotune confirm: prod {s_prod*1e12:.1f} vs "
+              f"{best_tag} {s_best*1e12:.1f} ps/pt", file=sys.stderr)
+        if s_best >= s_prod:
+            _metric_line(s_prod, "prod")
+            print("# autotune: win did not confirm — keeping prod",
+                  file=sys.stderr)
+            return
+        _metric_line(s_best, best_tag)
+    except Exception as exc:                           # noqa: BLE001
+        print(f"# autotune confirm failed ({str(exc)[:80]}) — "
+              "keeping prod", file=sys.stderr)
         return
     win = next(a for a in good if a[0] == best_tag)
     # the desc carries the variant ("vpu"/"k2") so the winning plan is
@@ -838,6 +872,36 @@ def _autotune_4096(batch: int = 4096) -> None:
     if best_tag == "pallas4":
         print("# autotune4096: keeping pallas4", file=sys.stderr)
         return
+    if not best_tag.startswith("pallas4"):
+        # structural winner (e.g. a canary-reopened single-kernel arm):
+        # single-block slopes carry identical-arm noise of +-20%
+        # (experiments/position_bias.py), so confirm in a fresh two-arm
+        # block against the best four-step variant before pinning a
+        # structurally different desc (tile_b variants of pallas4 are
+        # interchangeable — a flier among them is harmless)
+        ref_tag = min((t for t in slopes if t.startswith("pallas4")),
+                      key=lambda t: slopes[t])
+        try:
+            c2 = [(fns[t], (jnp.asarray(rng.standard_normal((b, n)),
+                                        jnp.float32),
+                            jnp.asarray(rng.standard_normal((b, n)),
+                                        jnp.float32)))
+                  for t in (ref_tag, best_tag) for b in (b_lo, b_hi)]
+            t2 = timing.time_chained_multi(c2, k1=4, k2=16, reps=7)
+            s_ref = (t2[1] - t2[0]) / ((b_hi - b_lo) * n)
+            s_best = (t2[3] - t2[2]) / ((b_hi - b_lo) * n)
+            print(f"# autotune4096 confirm: {ref_tag} {s_ref*1e12:.1f} "
+                  f"vs {best_tag} {s_best*1e12:.1f} ps/pt",
+                  file=sys.stderr)
+            if s_best >= s_ref:
+                best_tag = ref_tag
+        except Exception as exc:                       # noqa: BLE001
+            print(f"# autotune4096 confirm failed ({str(exc)[:80]}) — "
+                  f"using {ref_tag}", file=sys.stderr)
+            best_tag = ref_tag
+        if best_tag == "pallas4":
+            print("# autotune4096: keeping pallas4", file=sys.stderr)
+            return
     _inject(best_tag)
     print(f"# autotune4096: selected {best_tag}", file=sys.stderr)
 
