@@ -289,6 +289,14 @@ def bench_r2c_2d(n: int, batch: int = 8):
         # [32,64] for the axis-1 pass tied k2force (618 vs 620 GFLOPS,
         # sequential protocol) — the inner radix order doesn't matter at
         # n=2048; not worth a driver-run compile slot.
+        #
+        # padalign (desc "pad_align" / config.inner_pad_align): the
+        # axis-1 pass's unaligned-L handling — pad-to-aligned + slice
+        # instead of the masked edge tile.  Measured same-run 2026-08-20:
+        # 547 vs k2force's 630 — the XLA pad/slice of unaligned lanes
+        # costs MORE than the masked-tile kernel pessimization.  Arm
+        # dropped; capability kept (and the third confirmation that any
+        # route touching the odd 1025th column costs ~1 ms at this size).
         # NOT raced: the swapped composition (r2c over axis -2 first +
         # last-axis c2c + Hermitian reconstruct, config.r2c_swapped) LOST
         # 2:1 on chip (288 vs 601 GFLOPS, 3 interleaved reps) — the

@@ -92,6 +92,18 @@ measure_hysteresis = None
 #: One-file repro / re-enable probe: experiments/repro_pack_2048.py.
 r2c_dc_nyquist_pack: bool = False
 
+#: Unaligned-L handling in the axis-(-2) inner kernel (round 5).  A
+#: masked edge lane tile pessimizes the whole compiled stage kernel
+#: ~2.5x per tile (experiments/r2c_decomp.py), but the alternative —
+#: zero-pad to the next 128-multiple + slice back — pays XLA copy
+#: passes over unaligned-lane layouts that measured the SAME ~1 ms
+#: class at 2048x1025 (fold-normalized 2.92x vs the masked path's
+#: 2.59-3.09x — a wash; third confirmation that ANY route touching the
+#: odd column costs ~1 ms there, after the pack gathers and the
+#: moveaxis passes).  False = masked-tile kernel (historical), True =
+#: pad-to-aligned.  bench races both at driver time via this flag.
+inner_pad_align: bool = False
+
 #: SWAPPED rank-2 r2c composition (plan.py): r2c over axis -2 first (the
 #: transpose-free axis-(-2) r2c kernel), then the fast LAST-AXIS c2c over
 #: the half spectrum's rows, then one XLA Hermitian-reconstruct epilogue

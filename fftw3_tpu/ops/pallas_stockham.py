@@ -1081,10 +1081,23 @@ def build_pallas_c2c_split_2d(n1: int, n2: int, sign: int, rdtype,
 
 
 def build_pallas_c2c_split_inner(desc: Dict, sign: int, rdtype):
-    """Split-complex apply over axis -2 of (..., n, L) arrays, L a multiple
-    of 128.  Used by multi-axis plans for every non-last transform axis:
-    zero moveaxis passes, zero in-kernel transposes.  Returns None if the
-    layout is unsuitable (caller falls back to the moveaxis path)."""
+    """Split-complex apply over axis -2 of (..., n, L) arrays.  Used by
+    multi-axis plans for every non-last transform axis: zero moveaxis
+    passes, zero in-kernel transposes.  Returns None if the layout is
+    unsuitable (caller falls back to the moveaxis path).
+
+    Unaligned L (the 2-D r2c plan's half-spectrum trail L = n/2+1 is the
+    canonical case): ONE masked edge lane tile pessimizes the WHOLE
+    stage kernel ~2.5x per tile (experiments/r2c_decomp.py at n=2048:
+    L=1025 1623-1885 us vs L=1024 658-712 — while copy-only masked
+    tiles are nearly free, experiments/copy_inner.py, so it is the
+    compiled kernel that degrades, not the edge DMA), so unaligned
+    inputs are zero-PADDED to the next lane-tile multiple and the
+    result sliced back — two cheap copy passes buy an all-aligned
+    kernel.  (A dense-matrix edge peel was tried first and is SLOWER:
+    four HIGHEST-precision einsums re-read the (n, n) operand ~6x
+    each.)  Keeps the rdft2 rank-geq2 role
+    (/root/reference/fftw/fftw_api.c:5552-6190) off the slow path."""
     n = desc["n"]
     radices = _inner_radices(n, desc.get("radices") or choose_radices(n))
     mode = config.pallas_mode
@@ -1101,6 +1114,9 @@ def build_pallas_c2c_split_inner(desc: Dict, sign: int, rdtype):
     k2mode = desc.get("k2", K2_DEFAULT)
     gsplit = desc.get("gsplit")
     iarea = desc.get("inner_area")
+    pad_align = desc.get("pad_align")      # desc-carried variant pin;
+    if pad_align is None:                  # else build-time config snap
+        pad_align = config.inner_pad_align
     call = _make_call_inner(n, radices, sign, tl, interpret, vpu=vpu,
                             k2mode=k2mode, gsplit=gsplit, area=iarea)
     adj_call = [None]
@@ -1109,7 +1125,20 @@ def build_pallas_c2c_split_inner(desc: Dict, sign: int, rdtype):
         lead = xr.shape[:-2]
         L = xr.shape[-1]
         pre = int(np.prod(lead)) if lead else 1
-        yr, yi = c(xr.reshape(pre, n, L), xi.reshape(pre, n, L))
+        xr3 = xr.reshape(pre, n, L)
+        xi3 = xi.reshape(pre, n, L)
+        w = L % INNER_TILE_L if pad_align else 0
+        if w:
+            # pad-to-aligned (VJP note: transpose of slice∘F∘pad is
+            # pad∘F_opp∘slice, which is exactly this same _run with the
+            # adjoint call — the custom bwd below stays correct)
+            pad = INNER_TILE_L - w
+            xr3 = jnp.pad(xr3, ((0, 0), (0, 0), (0, pad)))
+            xi3 = jnp.pad(xi3, ((0, 0), (0, 0), (0, pad)))
+        yr, yi = c(xr3, xi3)
+        if w:
+            yr = yr[..., :L]
+            yi = yi[..., :L]
         return yr.reshape(*lead, n, L), yi.reshape(*lead, n, L)
 
     @jax.custom_vjp

@@ -172,3 +172,34 @@ def test_standalone_builder_honors_sub128_tile_b():
         -1, np.float32)
     hlo128 = jax.jit(ap128).lower(xr, xi).as_text()
     assert hlo4 != hlo128
+
+
+def test_inner_unaligned_pad_align_variants():
+    """Unaligned trailing L in the axis-(-2) kernel: both the masked-tile
+    default and the desc-pinned pad-to-aligned variant must be correct
+    (incl. grads).  On chip one masked edge tile pessimizes the whole
+    stage kernel ~2.5x/tile while XLA pad/slice of unaligned lanes costs
+    the same class (experiments/r2c_decomp.py) — bench races both; here
+    we pin correctness."""
+    import jax
+    import jax.numpy as jnp
+    from fftw3_tpu.ops import pallas_stockham as ps
+
+    rng = np.random.default_rng(11)
+    xr = rng.standard_normal((2, 256, 129)).astype(np.float32)
+    xi = rng.standard_normal((2, 256, 129)).astype(np.float32)
+    ref = np.fft.fft((xr + 1j * xi).astype(np.complex128), axis=1)
+    outs = {}
+    for pin in (False, True):
+        ap = ps.build_pallas_c2c_split_inner(
+            {"alg": "pallas", "n": 256, "pad_align": pin}, -1, np.float32)
+        yr, yi = ap(xr, xi)
+        err = (np.max(np.abs((np.asarray(yr) + 1j * np.asarray(yi))
+                             - ref)) / np.max(np.abs(ref)))
+        assert err < 1e-4, (pin, err)
+        g = jax.grad(lambda a, b, f=ap: jnp.sum(f(a, b)[0] ** 2),
+                     argnums=(0, 1))(jnp.asarray(xr), jnp.asarray(xi))
+        outs[pin] = g
+    for k in (0, 1):
+        assert np.allclose(np.asarray(outs[False][k]),
+                           np.asarray(outs[True][k]), atol=1e-2)
